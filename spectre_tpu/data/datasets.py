@@ -1,0 +1,103 @@
+"""Dataset loading: CIFAR-100, MNIST (Kaggle-CSV and IDX), synthetic.
+
+The reference pulls CIFAR-100 through torchvision (train.py:129-145) and MNIST
+through Kaggle digit-recognizer CSVs (vit_spectre_mnist.py:85-87). This image
+has zero network egress, so loaders read the standard on-disk formats when
+present and fall back to a deterministic synthetic set (same shapes/dtypes) so
+every pipeline, test and benchmark runs hermetically.
+
+All loaders return plain numpy: images [N, C, H, W] float32 in [0, 1],
+labels [N] int32. Augmentation/normalization happens ON DEVICE
+(data/augment.py) — the host does no per-sample work, unlike the reference's
+16-worker CPU transform pipeline (train.py:147-155).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import struct
+
+import numpy as np
+
+CIFAR100_MEAN = (0.5071, 0.4865, 0.4409)
+CIFAR100_STD = (0.2673, 0.2564, 0.2762)
+MNIST_MEAN = (0.1307,)
+MNIST_STD = (0.3081,)
+
+
+def _load_cifar100(data_dir: str, split: str):
+    path = os.path.join(data_dir, "cifar-100-python", "train" if split == "train" else "test")
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    images = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+    labels = np.asarray(d[b"fine_labels"], dtype=np.int32)
+    return images, labels
+
+
+def _load_mnist_idx(data_dir: str, split: str):
+    prefix = "train" if split == "train" else "t10k"
+    with open(os.path.join(data_dir, f"{prefix}-images-idx3-ubyte"), "rb") as f:
+        _, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        images = np.frombuffer(f.read(), dtype=np.uint8).reshape(n, 1, rows, cols)
+    with open(os.path.join(data_dir, f"{prefix}-labels-idx1-ubyte"), "rb") as f:
+        struct.unpack(">II", f.read(8))
+        labels = np.frombuffer(f.read(), dtype=np.uint8)
+    return images.astype(np.float32) / 255.0, labels.astype(np.int32)
+
+
+def _load_mnist_kaggle_csv(data_dir: str, split: str):
+    """Kaggle digit-recognizer format (vit_spectre_mnist.py:85-87): train.csv
+    has a label column + 784 pixels; test.csv has pixels only."""
+    name = "train.csv" if split == "train" else "test.csv"
+    raw = np.loadtxt(os.path.join(data_dir, name), delimiter=",", skiprows=1, dtype=np.float32)
+    if split == "train":
+        labels = raw[:, 0].astype(np.int32)
+        images = raw[:, 1:].reshape(-1, 1, 28, 28) / 255.0
+    else:
+        labels = np.zeros((raw.shape[0],), np.int32)
+        images = raw.reshape(-1, 1, 28, 28) / 255.0
+    return images, labels
+
+
+def _synthetic(name: str, split: str, seed: int = 0):
+    """Deterministic class-separable synthetic data with the real shapes.
+
+    Each class gets a fixed random template; samples are template + noise, so
+    a working model actually learns (useful for smoke-train convergence
+    tests), at CIFAR/MNIST shapes.
+    """
+    if name == "cifar100":
+        c, h, w, n_classes = 3, 32, 32, 100
+        n = 4096 if split == "train" else 1024
+    else:
+        c, h, w, n_classes = 1, 28, 28, 10
+        n = 4096 if split == "train" else 1024
+    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    templates = np.random.default_rng(seed).uniform(0.1, 0.9, (n_classes, c, h, w)).astype(np.float32)
+    labels = rng.integers(0, n_classes, n).astype(np.int32)
+    images = templates[labels] + rng.normal(0, 0.15, (n, c, h, w)).astype(np.float32)
+    return np.clip(images, 0.0, 1.0), labels
+
+
+def load_dataset(name: str, split: str = "train", data_dir: str | None = None,
+                 allow_synthetic: bool = True):
+    """Load ``cifar100`` or ``mnist``; returns (images [N,C,H,W] f32, labels [N] i32).
+
+    Search order: explicit ``data_dir`` -> $SPECTRE_DATA_DIR -> ./data ->
+    synthetic fallback (if allowed).
+    """
+    candidates = [d for d in (data_dir, os.environ.get("SPECTRE_DATA_DIR"), "data") if d]
+    for d in candidates:
+        try:
+            if name == "cifar100":
+                return _load_cifar100(d, split)
+            if name == "mnist":
+                if os.path.exists(os.path.join(d, "train.csv")):
+                    return _load_mnist_kaggle_csv(d, split)
+                return _load_mnist_idx(d, split)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+    if not allow_synthetic:
+        raise FileNotFoundError(f"dataset {name!r} not found in {candidates}")
+    return _synthetic(name, split)

@@ -1,0 +1,95 @@
+"""Input pipeline: shuffled batching + double-buffered device prefetch.
+
+Replaces the reference's 16-process DataLoader(pin_memory, prefetch_factor=4)
+(train.py:147-155). On TPU the host's only job is to hand raw pixel batches to
+the chip ahead of time: ``prefetch_to_mesh`` keeps ``prefetch`` batches in
+flight (device_put is async in JAX), sharded over the mesh's data axis, while
+augmentation runs on device inside the step. Static batch shapes only — the
+last partial batch is dropped in training (DataLoader drop_last equivalent)
+and padded in eval so jit never retraces.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from spectre_tpu.parallel.mesh import batch_sharding
+
+
+class BatchIterator:
+    """Epoch iterator over in-memory numpy arrays.
+
+    train mode: reshuffle every epoch from a seeded Generator, drop remainder.
+    eval mode: sequential, final batch zero-padded to full size (callers get
+    ``valid`` counts so metrics stay exact).
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
+                 *, shuffle: bool, seed: int = 0, drop_last: bool | None = None):
+        self.images, self.labels = images, labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self._rng = np.random.default_rng(seed)
+        self.num_examples = images.shape[0]
+
+    def __len__(self) -> int:
+        n, b = self.num_examples, self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = np.arange(self.num_examples)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        b = self.batch_size
+        for start in range(0, self.num_examples, b):
+            sel = idx[start : start + b]
+            if len(sel) < b:
+                if self.drop_last:
+                    return
+                pad = np.zeros(b - len(sel), dtype=sel.dtype)
+                valid = len(sel)
+                sel = np.concatenate([sel, pad])
+            else:
+                valid = b
+            yield {
+                "image": self.images[sel],
+                "label": self.labels[sel],
+                "valid": np.int32(valid),
+            }
+
+
+def prefetch_to_mesh(iterator, mesh, prefetch: int = 2):
+    """Asynchronously stage host batches onto the mesh, data-axis sharded.
+
+    device_put returns immediately (transfers overlap compute); holding a
+    ``prefetch``-deep deque of in-flight batches double-buffers H2D against
+    the running step, the role cuFFT-era pin_memory+prefetch_factor played.
+    """
+    sharding = batch_sharding(mesh)
+    queue = collections.deque()
+
+    def stage(batch):
+        return {
+            "image": jax.device_put(batch["image"], sharding),
+            "label": jax.device_put(batch["label"], sharding),
+            "valid": batch["valid"],
+        }
+
+    it = iter(iterator)
+    try:
+        for _ in range(prefetch):
+            queue.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out

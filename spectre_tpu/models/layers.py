@@ -1,0 +1,181 @@
+"""Flax layer library — parity surface of the reference layer zoo
+(``/root/reference/spectre_vit/models/spectre/layers.py`` and
+``modules/spectre.py``), rebuilt as linen modules over the ops layer.
+
+Numerics contracts (verified in tests/test_models_parity.py):
+- GELU is the exact erf form (torch ``nn.GELU()`` default).
+- LayerNorm eps = 1e-5 (torch default; reference spectre.py:46).
+- SpectreLinear = GELU(LN(Dense(x))) + adaptive-avg-pool residual
+  (layers.py:85-101); identity residual when in==out.
+- MHPermutMix buffers (perms/signs) are non-trainable variables in the
+  "buffers" collection, generated from the module init PRNG — reproducible
+  and checkpointed (SURVEY.md §7 "deterministic fixed random tables").
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spectre_tpu.ops import (
+    adaptive_avg_pool1d,
+    gelu_exact,
+    learnable_hadamard,
+    make_mix_tables,
+    next_pow2,
+    permut_mix,
+    rfft_real,
+)
+
+Dtype = Any
+
+
+class SpectreLinear(nn.Module):
+    """Linear replacement block (reference ``SpectreLinear``, layers.py:76-101).
+
+    out = GELU(LayerNorm(Dense(x))) + pool_residual(x). The reference's
+    vestigial sparsity machinery (sparsity=1, unused local_idx buffer,
+    layers.py:81-84) is intentionally dropped — it was the identity.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="local_head")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm")(h)
+        h = gelu_exact(h)
+        return h + adaptive_avg_pool1d(x, self.features)
+
+
+class MHPermutMix(nn.Module):
+    """Multi-head sign-flip + permutation mixing (reference layers.py:53-73).
+
+    Flattens [B, N, E] -> [B, N*E], applies H fixed random permutations and
+    sign patterns, reinterprets as [B, N, E*H], projects back with
+    SpectreLinear. ``token_dim`` must equal N (the reference requires the
+    sequence length at construction; SURVEY.md §5.7).
+    """
+
+    embed_dim: int
+    token_dim: int
+    num_heads: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.embed_dim * self.token_dim
+
+        def init_tables():
+            return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+
+        tables = self.variable("buffers", "mix_tables", init_tables)
+        perms, signs = tables.value
+        mixed = permut_mix(x.astype(self.dtype), perms, signs.astype(self.dtype), self.token_dim)
+        return SpectreLinear(self.out_channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="linear")(mixed)
+
+
+class BinaryLinear(nn.Module):
+    """Sign-binarized linear with learnable scale (reference layers.py:10-23)."""
+
+    features: int
+    trainable: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        if self.trainable:
+            w = self.param("weight", nn.initializers.normal(1.0),
+                           (self.features, in_features), self.param_dtype)
+        else:
+            w = self.variable("buffers", "weight",
+                              lambda: jnp.ones((self.features, in_features),
+                                               self.param_dtype)).value
+        scale = self.param("scale", nn.initializers.ones, (1,), self.param_dtype)
+        w_bin = jnp.sign(w.astype(self.dtype))
+        return scale.astype(self.dtype) * (x.astype(self.dtype) @ w_bin.T)
+
+
+class FFTApproximator(nn.Module):
+    """Learned dense approximation of rfft (reference layers.py:104-121):
+    a single unconstrained [D, D//2+1] projection trained against rfft targets
+    (fft_approx.py study)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_dim = self.dim // 2 + 1
+        w = self.param("weight", nn.initializers.normal(1.0),
+                       (out_dim, self.dim), self.param_dtype)
+        return x.astype(self.dtype) @ w.astype(self.dtype).T
+
+
+class LearnedSigmoid(nn.Module):
+    """Sharp learned threshold gate (reference layers.py:124-133)."""
+
+    threshold: float
+    sharpness: float = 5000.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        t = self.param("threshold", nn.initializers.constant(self.threshold), ())
+        return 1.0 / (1.0 + jnp.exp((x + t) / jnp.sqrt(t**2 / self.sharpness)))
+
+
+class NormalMask(nn.Module):
+    """Learnable-Gaussian frequency mask (reference spectre.py:17-26)."""
+
+    n_bins: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = self.param("mean", nn.initializers.constant(self.n_bins / 2.0), ())
+        std = self.param("std", nn.initializers.constant(self.n_bins / 8.0), ())
+        freqs = jnp.linspace(0.0, self.n_bins - 1, self.n_bins)
+        gauss = jnp.exp(-0.5 * ((freqs - mean) / (std + 1e-8)) ** 2)
+        return x * gauss
+
+
+class FFTLayer(nn.Module):
+    """Re(rfft(x, dim=-1)) module (reference modules/spectre.py:5-14).
+
+    Note: output last dim is n//2+1 (NOT shape-preserving); the FNet-style
+    shape-preserving mixer is ``mixers.FNetMixer``.
+    """
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return rfft_real(x, axis=-1)
+
+
+class LearnableHadamard(nn.Module):
+    """Residual Hadamard block with per-pass learnable scales
+    (reference hadamar.py:115-141; the scales are active here — the reference
+    left the multiply commented out)."""
+
+    dim: int
+    num_blocks: int = 2
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pdim = next_pow2(self.dim)
+        scales = [
+            self.param(f"scale_{i}", nn.initializers.ones, (pdim,), self.param_dtype)
+            for i in range(self.num_blocks)
+        ]
+        return learnable_hadamard(x, scales)

@@ -1,0 +1,145 @@
+"""Jitted train / eval / distillation steps.
+
+The reference's hot loop (train.py:216-243) is an eager AMP-fp16 loop with a
+GradScaler and a per-batch ``.item()`` device sync. The TPU-native design is a
+single ``jit``-compiled step function over a data-parallel mesh:
+
+- batch arrives sharded over the ``data`` mesh axis; params are replicated, so
+  XLA derives the gradient all-reduce (psum over ICI) from shardings alone;
+- bf16 compute (``compute_dtype`` config) replaces fp16+GradScaler — bf16 has
+  fp32 range, no loss scaling needed;
+- the returned metrics stay on device; callers batch D2H syncs per-epoch, not
+  per-step (the reference synced every batch at train.py:243).
+
+Distillation step: fused soft-target KL(T)+CE loss with the reference's
+weighting (train.py:334-348: T=2, 0.25*KD*T^2 + 0.75*CE), teacher frozen, both
+models on the same chips, data-parallel (BASELINE north star).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spectre_tpu.train.state import TrainState
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (torch CrossEntropyLoss
+    semantics, train.py:196,226)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def distill_loss(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 2.0,
+    kd_weight: float = 0.25,
+    ce_weight: float = 0.75,
+) -> tuple[jnp.ndarray, dict]:
+    """Soft-target distillation loss, reference formulation (train.py:334-348):
+
+        KD = T^2 * mean_B sum_c p_T (log p_T - log p_S),  p at temperature T
+        loss = kd_weight * KD + ce_weight * CE(student, labels)
+    """
+    t = temperature
+    log_p_s = jax.nn.log_softmax(student_logits / t, axis=-1)
+    log_p_t = jax.nn.log_softmax(teacher_logits / t, axis=-1)
+    p_t = jnp.exp(log_p_t)
+    kd = (t * t) * jnp.sum(p_t * (log_p_t - log_p_s), axis=-1).mean()
+    ce = cross_entropy_loss(student_logits, labels)
+    loss = kd_weight * kd + ce_weight * ce
+    return loss, {"loss_dist": kd, "loss_ce": ce}
+
+
+def _accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32).mean()
+
+
+def make_train_step(model) -> Callable:
+    """Build the jitted train step. ``state`` is donated (buffers update in
+    place in HBM); dropout keys are folded from the state PRNG + step so the
+    step stays a pure function of its inputs."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "buffers": state.buffers},
+                images,
+                deterministic=False,
+                rngs={"dropout": step_rng},
+            )
+            return cross_entropy_loss(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, state.rng)
+        metrics = {"loss": loss, "accuracy": _accuracy(logits, labels)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def eval_step(params, buffers, images, labels):
+        logits = model.apply({"params": params, "buffers": buffers}, images)
+        return {
+            "loss": cross_entropy_loss(logits, labels),
+            "accuracy": _accuracy(logits, labels),
+        }
+
+    return eval_step
+
+
+def make_distill_step(
+    student,
+    teacher_apply: Callable,
+    temperature: float = 2.0,
+    kd_weight: float = 0.25,
+    ce_weight: float = 0.75,
+) -> Callable:
+    """Distillation train step (train.py:320-353 semantics, one compiled fn).
+
+    ``teacher_apply(images_teacher) -> logits`` closes over the frozen teacher
+    params; running it inside the same jit keeps teacher+student on-chip with
+    one fused program (teacher gradient is severed with stop_gradient).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def distill_step(
+        state: TrainState,
+        images_student: jnp.ndarray,
+        images_teacher: jnp.ndarray,
+        labels: jnp.ndarray,
+    ):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        teacher_logits = jax.lax.stop_gradient(teacher_apply(images_teacher))
+
+        def loss_fn(params):
+            logits = student.apply(
+                {"params": params, "buffers": state.buffers},
+                images_student,
+                deterministic=False,
+                rngs={"dropout": step_rng},
+            )
+            loss, parts = distill_loss(
+                logits, teacher_logits, labels, temperature, kd_weight, ce_weight
+            )
+            return loss, (logits, parts)
+
+        (loss, (logits, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, state.rng)
+        metrics = {"loss": loss, "accuracy": _accuracy(logits, labels), **parts}
+        return new_state, metrics
+
+    return distill_step
