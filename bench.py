@@ -1,0 +1,84 @@
+"""Headline benchmark: SpectreViT CIFAR-100 training throughput on TPU.
+
+Measures images/sec/chip of the full compiled training step (device-side
+augmentation + fwd + bwd + AdamW update) on the flagship config — the
+BASELINE.json north-star metric. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` is value / BASELINE_IMG_PER_SEC. The reference publishes no
+numbers (BASELINE.md); the denominator below is the reference harness's
+machinery re-expressed as a target: an A100 running the PyTorch SpectreViT
+CIFAR-100 recipe. Until a measured A100 number lands in BASELINE.md, we use
+the BASELINE.json target framing (>= 3x A100) with a conservative A100
+estimate for this small model; update BASELINE_IMG_PER_SEC when measured.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference baseline (images/sec on one A100, PyTorch eager AMP recipe,
+# B=256). Placeholder pending a measured number — see BASELINE.md.
+BASELINE_IMG_PER_SEC = 3000.0
+
+WARMUP = 10
+ITERS = 50
+
+
+def main():
+    from spectre_tpu.configs import parse_config
+    from spectre_tpu.data import CIFAR100_MEAN, CIFAR100_STD, make_train_augment
+    from spectre_tpu.models import build_model
+    from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
+    batch = int(cfg.batch_size)
+    n_chips = jax.device_count()
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=195)
+    x_init = jnp.zeros((batch, cfg.in_channels, cfg.img_size, cfg.img_size))
+    state = create_train_state(model, tx, x_init, seed=0)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, x_init.shape).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, batch).astype(np.int32))
+
+    augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
+    train_step = make_train_step(model)
+    key = jax.random.key(0)
+
+    def step(state, key):
+        key, k = jax.random.split(key)
+        x = augment(k, images)
+        state, metrics = train_step(state, x, labels)
+        return state, key, metrics
+
+    # compile + warmup
+    for _ in range(WARMUP):
+        state, key, metrics = step(state, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, key, metrics = step(state, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec_per_chip = ITERS * batch / dt / n_chips
+    print(json.dumps({
+        "metric": "spectre_vit_cifar100_train_images_per_sec_per_chip",
+        "value": round(img_per_sec_per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,82 @@ def permut_mix(
     return mixed.reshape(B, token_dim, -1)  # [B, N, E*H]
 
 
+def _hadamard_matrix_np(n: int):
+    import numpy as np
+
+    h = np.asarray([[1.0]], dtype=np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def hadamard_matrix(n: int, dtype=jnp.float32, normalize: bool = True) -> jnp.ndarray:
+    """Dense H_n (Sylvester/natural order). Orthonormal when normalized."""
+    h = jnp.asarray(_hadamard_matrix_np(n), dtype=dtype)
+    return h * (n ** -0.5) if normalize else h
+
+
+def pick_tile(d: int, max_tile: int = 128) -> int:
+    """Largest power-of-two <= max_tile dividing d (128 = one TPU lane tile)."""
+    t = max_tile
+    while t > 1 and d % t:
+        t //= 2
+    return t
+
+
+def make_structured_tables(
+    key: jax.Array, num_heads: int, d: int, tile: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tables for the tile-structured mixer: per-head random *tile* permutation
+    [H, T] and per-element random signs [1, H, d].
+
+    TPU design (SURVEY.md §7 'hard parts'): an arbitrary d-element gather is
+    irregular memory traffic the VPU/MXU can't vectorize. The structured mixer
+    factors the random orthogonal mix as
+
+        y_h = (P_tile_h . D_h . x) @ (I_T kron H_tile)
+
+    i.e. random +-1 signs (VPU multiply), a permutation of contiguous 128-lane
+    tiles (pure block data movement — BlockSpec index remap, zero compute),
+    and a shared intra-tile Hadamard (one [tile, tile] matmul per tile on the
+    MXU). This is the SRHT/fast-JL construction: same mixing statistics as
+    sign+permutation (each output is a random-sign combination spanning the
+    whole sequence after tile shuffling), but every byte moves in contiguous
+    tiles. Exact reference semantics remain available via ``permut_mix``.
+    """
+    t = tile or pick_tile(d)
+    n_tiles = d // t
+    kp, ks = jax.random.split(key)
+    tile_perms = jnp.stack(
+        [jax.random.permutation(k, n_tiles) for k in jax.random.split(kp, num_heads)]
+    ).astype(jnp.int32)
+    signs = jax.random.randint(ks, (num_heads, d), 0, 2).astype(jnp.float32) * 2 - 1
+    return tile_perms, signs[None]
+
+
+def structured_mix(
+    x: jnp.ndarray,
+    tile_perms: jnp.ndarray,
+    signs: jnp.ndarray,
+    token_dim: int,
+) -> jnp.ndarray:
+    """jnp reference of the structured mixer (Pallas kernel:
+    ops/pallas/structured_mix.py). x: [B, N, E] or [B, d] -> [B, token_dim, -1].
+    """
+    B = x.shape[0]
+    x = x.reshape(B, -1)
+    d = x.shape[-1]
+    H, n_tiles = tile_perms.shape
+    t = d // n_tiles
+    had = hadamard_matrix(t, x.dtype)
+    xt = x.reshape(B, n_tiles, t)
+    # [B, H, T, t]: per-head tile gather (block moves), then signs, then H_t
+    gathered = jnp.take(xt, tile_perms, axis=1)  # [B, H, T, t]
+    signed = gathered * signs.reshape(1, H, n_tiles, t)
+    mixed = jnp.einsum("bhnt,ts->bhns", signed, had)
+    return mixed.reshape(B, token_dim, -1)
+
+
 def invert_permutation(perm: jnp.ndarray) -> jnp.ndarray:
     """inv such that inv[perm[i]] = i (useful for scatter-formulated backward).
 

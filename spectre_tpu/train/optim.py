@@ -17,7 +17,8 @@ import optax
 def make_schedule(config: SimpleNamespace, steps_per_epoch: int) -> optax.Schedule:
     lr = getattr(config, "learning_rate", 1e-3)
     total_steps = max(1, int(config.epochs) * int(steps_per_epoch))
-    warmup_steps = int(getattr(config, "warmup_epochs", 0) * steps_per_epoch)
+    warmup_steps = int(getattr(config, "warmup_steps", 0) or
+                       getattr(config, "warmup_epochs", 0) * steps_per_epoch)
     eta_min = getattr(config, "eta_min", 0.0)
     if warmup_steps > 0:
         return optax.warmup_cosine_decay_schedule(
@@ -41,7 +42,7 @@ def make_optimizer(config: SimpleNamespace, steps_per_epoch: int) -> optax.Gradi
         b2=getattr(config, "adam_betas", (0.9, 0.999))[1],
         weight_decay=getattr(config, "adam_weight_decay", 1e-4),
     )
-    clip = getattr(config, "grad_clip_norm", 0.0)
+    clip = getattr(config, "grad_clip_norm", None) or 0.0
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     return tx

@@ -88,12 +88,20 @@ def make_train_step(model) -> Callable:
 
 
 def make_eval_step(model) -> Callable:
+    """Eval step over a possibly-padded batch: ``valid`` counts the real
+    examples (the pipeline pads the final batch to keep shapes static);
+    returns sums so the caller aggregates exact epoch metrics."""
+
     @jax.jit
-    def eval_step(params, buffers, images, labels):
+    def eval_step(params, buffers, images, labels, valid):
         logits = model.apply({"params": params, "buffers": buffers}, images)
+        mask = jnp.arange(labels.shape[0]) < valid
+        per_ex = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels) & mask)
         return {
-            "loss": cross_entropy_loss(logits, labels),
-            "accuracy": _accuracy(logits, labels),
+            "loss_sum": jnp.sum(per_ex * mask),
+            "correct": correct,
+            "count": jnp.asarray(valid, jnp.int32),
         }
 
     return eval_step
