@@ -35,3 +35,6 @@ val_batch_size = 512
 dropout = 0.1
 activation = "gelu"
 method = "permut_mix"         # mixer: permut_mix|fft_bare|fft_mh|dwt_embed|dwt_token|attention
+mix_impl = "gather"           # permut-mix impl: "gather" (exact reference
+                              # semantics) | "structured" (tile-structured
+                              # orthogonal mix, MXU-native fast path)

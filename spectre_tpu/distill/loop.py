@@ -1,0 +1,140 @@
+"""Distillation training orchestration (reference train.py:298-396).
+
+Flow parity: frozen DINO teacher + student on the same chips, dual-view
+batches (teacher view resized to the teacher's input size with teacher
+normalization; student view through the student augmentation pipeline —
+reference DistillationDatasetCls, distillation.py:25-43), fused
+KD(T=2)*0.25 + CE*0.75 loss (train.py:334-348), per-batch
+``Batch Loss/{Train,Dist,CE}`` metrics (train.py:355-359).
+
+TPU design: ONE raw pixel batch crosses host->device; both views are computed
+on device (resize + normalize are jitted), and teacher forward + student
+forward/backward compile into a single program (train/step.py
+make_distill_step) — the reference paid two host transform pipelines and two
+H2D copies per batch.
+"""
+
+from __future__ import annotations
+
+import time
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+
+from spectre_tpu.data import (
+    BatchIterator,
+    load_dataset,
+    make_train_augment,
+    prefetch_to_mesh,
+)
+from spectre_tpu.data.augment import normalize, resize_bilinear
+from spectre_tpu.distill.teacher import load_teacher
+from spectre_tpu.models import build_model, example_input
+from spectre_tpu.parallel import create_mesh, replicated_sharding
+from spectre_tpu.train.loop import _dataset_stats
+from spectre_tpu.train.optim import make_optimizer
+from spectre_tpu.train.state import create_train_state
+from spectre_tpu.train.step import make_distill_step
+from spectre_tpu.utils import MetricsWriter, experiment_name
+
+# ImageNet stats — what DINO teachers were trained with
+_TEACHER_MEAN = (0.485, 0.456, 0.406)
+_TEACHER_STD = (0.229, 0.224, 0.225)
+
+
+def distill_from_config(
+    config: SimpleNamespace,
+    *,
+    max_steps: int | None = None,
+    synthetic: bool = False,
+    teacher=None,
+    teacher_variables=None,
+    teacher_img_size: int = 224,
+    write_metrics: bool = True,
+):
+    dataset = getattr(config, "dataset", "cifar100")
+    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
+    train_x, train_y = load_dataset(dataset, "train", data_dir=data_dir)
+
+    mesh = create_mesh()
+    batch_size = int(config.batch_size)
+    batch_size -= batch_size % mesh.devices.shape[0]
+
+    student = build_model(config)
+    if teacher is None:
+        teacher, teacher_variables = load_teacher(
+            config.num_classes, img_size=teacher_img_size,
+            seed=getattr(config, "random_seed", 42))
+
+    train_iter = BatchIterator(train_x, train_y, batch_size, shuffle=True,
+                               seed=getattr(config, "random_seed", 42))
+    steps_per_epoch = max(1, len(train_iter))
+    tx = make_optimizer(config, steps_per_epoch)
+    state = create_train_state(student, tx,
+                               example_input(config, batch_size=batch_size),
+                               seed=getattr(config, "random_seed", 42))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    mean, std = _dataset_stats(dataset)
+    in_ch = int(getattr(config, "in_channels", 3))
+    augment = make_train_augment(mean, std, jitter=(in_ch == 3))
+
+    t_size = teacher.backbone.img_size
+
+    @jax.jit
+    def teacher_view(x):
+        # dual-view: upsample raw pixels to the teacher resolution + teacher
+        # normalization (reference resizes the teacher path only, train.py:92-99)
+        x = resize_bilinear(x, t_size)
+        if in_ch == 1:
+            x = x.repeat(3, axis=1)
+        return normalize(x, _TEACHER_MEAN, _TEACHER_STD)
+
+    def teacher_apply(images_teacher):
+        return teacher.apply(teacher_variables, images_teacher)
+
+    alpha = float(getattr(config, "distill_alpha", 0.25))
+    step_fn = make_distill_step(
+        student, teacher_apply,
+        temperature=float(getattr(config, "distill_temperature", 2.0)),
+        kd_weight=alpha, ce_weight=1.0 - alpha,
+    )
+
+    img_size = int(config.img_size)
+    if train_x.shape[-1] != img_size:
+        resize = jax.jit(lambda v: resize_bilinear(v, img_size))
+    else:
+        resize = lambda v: v  # noqa: E731
+
+    name = "distill_" + experiment_name(config)
+    writer = MetricsWriter(
+        f"{getattr(config, 'checkpoint_dir', 'runs')}/{name}") if write_metrics else None
+
+    aug_key = jax.random.key(getattr(config, "random_seed", 42) + 2)
+    total_steps = 0
+    t0 = time.time()
+    done = False
+    for epoch in range(int(config.epochs)):
+        if done:
+            break
+        for batch in prefetch_to_mesh(train_iter, mesh):
+            raw = batch["image"]
+            aug_key, k = jax.random.split(aug_key)
+            img_student = augment(k, resize(raw))
+            img_teacher = teacher_view(raw)
+            state, metrics = step_fn(state, img_student, img_teacher, batch["label"])
+            total_steps += 1
+            if writer:
+                m = jax.device_get(metrics)
+                # reference per-batch scalars (train.py:355-359)
+                writer.scalar("Batch Loss/Train", m["loss"], total_steps)
+                writer.scalar("Batch Loss/Dist", m["loss_dist"], total_steps)
+                writer.scalar("Batch Loss/CE", m["loss_ce"], total_steps)
+            if max_steps is not None and total_steps >= max_steps:
+                done = True
+                break
+    if writer:
+        writer.scalar("Training time", time.time() - t0, total_steps)
+        writer.close()
+    return state, jax.device_get(metrics)

@@ -1,0 +1,250 @@
+"""DINO-family ViT teacher for distillation.
+
+The reference loads DINOv3-S/16 through torch.hub from a git submodule that is
+EMPTY in the snapshot (train.py:66-74; SURVEY.md §0), freezes it, and wraps it
+in ``DinoClassifier`` whose forward takes
+``backbone.forward_features(x)['x_norm_clstoken']`` into a linear decoder
+(distillation.py:5-22). This module provides the TPU-native equivalent:
+
+- ``DinoVisionTransformer``: flax ViT-S/16-style backbone with the DINO
+  architectural details that matter for weight import (CLS + register tokens,
+  pre-norm blocks, qkv bias, LayerScale, exact-GELU MLP, final LayerNorm) and
+  a ``forward_features`` -> dict contract matching the reference's usage.
+- ``import_torch_state_dict``: maps a torch DINOv2/v3 ``state_dict`` (read
+  with numpy from a .pt/.npz dump) onto the flax param tree, so real weights
+  drop in when present on disk.
+- ``load_teacher``: weights from $SPECTRE_TEACHER_WEIGHTS if set, otherwise a
+  seeded random teacher (the distillation *machinery* — dual views, KD loss,
+  frozen-teacher step — is exercised and tested either way).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+class _Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class _Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            out_features=self.dim, dtype=self.dtype, name="attn")(h, h)
+        ls1 = self.param("ls1_gamma", nn.initializers.constant(self.layerscale_init),
+                         (self.dim,))
+        x = x + h * ls1
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = _Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                 name="mlp")(h)
+        ls2 = self.param("ls2_gamma", nn.initializers.constant(self.layerscale_init),
+                         (self.dim,))
+        return x + h * ls2
+
+
+class DinoVisionTransformer(nn.Module):
+    """ViT-S/16 teacher backbone (DINO family layout)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_channels: int = 3
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    num_registers: int = 4
+    dtype: Dtype = jnp.float32
+
+    def forward_features(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """Reference contract: backbone.forward_features(x)['x_norm_clstoken']
+        (distillation.py:14-15). Delegates to __call__."""
+        return self(x)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        B = x.shape[0]
+        P, E = self.patch_size, self.embed_dim
+        n = (self.img_size // P) ** 2
+        # patchify as one GEMM (Conv k=P s=P == reshape+Dense; see
+        # models/patch_embed.py for the derivation)
+        xp = x.reshape(B, self.in_channels, self.img_size // P, P,
+                       self.img_size // P, P)
+        xp = xp.transpose(0, 2, 4, 1, 3, 5).reshape(B, n, self.in_channels * P * P)
+        tokens = nn.Dense(E, dtype=self.dtype, name="patch_embed")(xp)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, E))
+        regs = self.param("register_tokens", nn.initializers.normal(0.02),
+                          (1, self.num_registers, E))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n + 1, E))
+
+        tokens = jnp.concatenate([
+            jnp.broadcast_to(cls, (B, 1, E)) + pos[:, :1],
+            jnp.broadcast_to(regs, (B, self.num_registers, E)),
+            tokens + pos[:, 1:],
+        ], axis=1)
+
+        for i in range(self.depth):
+            tokens = _Block(dim=E, num_heads=self.num_heads, dtype=self.dtype,
+                            name=f"block_{i}")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        return {
+            "x_norm_clstoken": tokens[:, 0],
+            "x_norm_regtokens": tokens[:, 1 : 1 + self.num_registers],
+            "x_norm_patchtokens": tokens[:, 1 + self.num_registers :],
+        }
+
+
+class DinoClassifier(nn.Module):
+    """Frozen-backbone linear classifier (reference DinoClassifier,
+    distillation.py:5-22): decoder(backbone.forward_features['x_norm_clstoken'])."""
+
+    backbone: DinoVisionTransformer
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_features: bool = False):
+        feats = self.backbone(x)["x_norm_clstoken"]
+        logits = nn.Dense(self.num_classes, name="decoder")(feats)
+        if return_features:
+            return logits, feats
+        return logits
+
+
+def _torch_key_map(flax_params: dict, sd: dict[str, np.ndarray]) -> dict:
+    """Map DINOv2/v3-style torch state_dict tensors onto the flax tree.
+
+    torch Linear weight [out, in] -> flax kernel [in, out]; the fused torch
+    qkv projection is split into flax's separate q/k/v DenseGeneral params.
+    Unmatched flax leaves keep their init values; unused torch keys are
+    reported by the caller.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax_params, sep="/")
+    used = set()
+
+    def put(fk, arr):
+        if fk in flat and flat[fk].shape == arr.shape:
+            flat[fk] = jnp.asarray(arr)
+            return True
+        return False
+
+    E = None
+    for k in sd:
+        if k.endswith("cls_token"):
+            E = sd[k].shape[-1]
+    heads = None
+    for fk in flat:
+        if fk.endswith("attn/query/kernel"):
+            heads = flat[fk].shape[1]
+            break
+
+    for tk, arr in sd.items():
+        arr = np.asarray(arr)
+        fk = None
+        if tk == "cls_token":
+            fk = "cls_token"; arr = arr.reshape(1, 1, -1)
+        elif tk in ("register_tokens", "reg_tokens"):
+            fk = "register_tokens"
+        elif tk == "pos_embed":
+            fk = "pos_embed"
+        elif tk == "patch_embed.proj.weight":  # conv [E, C, P, P] -> dense [C*P*P, E]
+            fk = "patch_embed/kernel"; arr = arr.reshape(arr.shape[0], -1).T
+        elif tk == "patch_embed.proj.bias":
+            fk = "patch_embed/bias"
+        elif tk == "norm.weight":
+            fk = "norm/scale"
+        elif tk == "norm.bias":
+            fk = "norm/bias"
+        elif ".blocks." in tk or tk.startswith("blocks."):
+            parts = tk.split(".")
+            i = parts[parts.index("blocks") + 1]
+            rest = ".".join(parts[parts.index("blocks") + 2:])
+            base = f"block_{i}"
+            simple = {
+                "norm1.weight": f"{base}/norm1/scale", "norm1.bias": f"{base}/norm1/bias",
+                "norm2.weight": f"{base}/norm2/scale", "norm2.bias": f"{base}/norm2/bias",
+                "mlp.fc1.weight": f"{base}/mlp/fc1/kernel", "mlp.fc1.bias": f"{base}/mlp/fc1/bias",
+                "mlp.fc2.weight": f"{base}/mlp/fc2/kernel", "mlp.fc2.bias": f"{base}/mlp/fc2/bias",
+                "ls1.gamma": f"{base}/ls1_gamma", "ls2.gamma": f"{base}/ls2_gamma",
+                "attn.proj.weight": f"{base}/attn/out/kernel",
+                "attn.proj.bias": f"{base}/attn/out/bias",
+            }
+            if rest in simple:
+                fk = simple[rest]
+                if rest.endswith(".weight") and "norm" not in rest and "ls" not in rest:
+                    arr = arr.T
+                if rest == "attn.proj.weight" and heads:
+                    arr = arr.T.reshape(heads, -1, arr.shape[0])
+            elif rest == "attn.qkv.weight" and E and heads:
+                w = arr.reshape(3, E, E)  # [qkv, out, in] torch layout
+                hd = E // heads
+                for name, mat in zip(("query", "key", "value"), w):
+                    put(f"{base}/attn/{name}/kernel",
+                        mat.T.reshape(E, heads, hd))
+                used.add(tk)
+                continue
+            elif rest == "attn.qkv.bias" and E and heads:
+                bqkv = arr.reshape(3, E)
+                hd = E // heads
+                for name, vec in zip(("query", "key", "value"), bqkv):
+                    put(f"{base}/attn/{name}/bias", vec.reshape(heads, hd))
+                used.add(tk)
+                continue
+        if fk is not None and put(fk, arr):
+            used.add(tk)
+
+    params = flax.traverse_util.unflatten_dict(flat, sep="/")
+    return params, used
+
+
+def import_torch_state_dict(model: DinoVisionTransformer, params, sd: dict):
+    """Load torch DINO weights into ``params``; returns (params, unused_keys)."""
+    new_params, used = _torch_key_map(params, sd)
+    unused = sorted(set(sd) - used)
+    return new_params, unused
+
+
+def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0):
+    """Build (classifier_model, variables). Real weights load from
+    $SPECTRE_TEACHER_WEIGHTS (a numpy .npz dump of the torch state_dict);
+    otherwise seeded random init (hermetic fallback — this image has no
+    network egress to fetch DINOv3 checkpoints)."""
+    backbone = DinoVisionTransformer(img_size=img_size)
+    clf = DinoClassifier(backbone=backbone, num_classes=num_classes)
+    x = jnp.zeros((1, 3, img_size, img_size))
+    variables = clf.init(jax.random.key(seed), x)
+
+    path = os.environ.get("SPECTRE_TEACHER_WEIGHTS")
+    if path and os.path.exists(path):
+        sd = dict(np.load(path))
+        bb_params = variables["params"]["backbone"]
+        new_bb, unused = import_torch_state_dict(backbone, bb_params, sd)
+        variables = {"params": {**variables["params"], "backbone": new_bb}}
+        if unused:
+            print(f"teacher import: {len(unused)} unused torch keys (e.g. {unused[:3]})")
+    return clf, variables

@@ -25,10 +25,14 @@ from spectre_tpu.ops import (
     gelu_exact,
     learnable_hadamard,
     make_mix_tables,
+    make_structured_tables,
     next_pow2,
     permut_mix,
     rfft_real,
+    spectre_linear_apply,
+    structured_mix,
 )
+from spectre_tpu.ops.pallas import fused_spectre_linear, structured_mix_pallas
 
 Dtype = Any
 
@@ -39,20 +43,30 @@ class SpectreLinear(nn.Module):
     out = GELU(LayerNorm(Dense(x))) + pool_residual(x). The reference's
     vestigial sparsity machinery (sparsity=1, unused local_idx buffer,
     layers.py:81-84) is intentionally dropped — it was the identity.
+
+    ``use_pallas`` routes through the fused kernel
+    (ops/pallas/fused_linear.py): one VMEM-resident GEMM+LN+GELU+residual
+    program instead of separate HLO ops.
     """
 
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="local_head")(x)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm")(h)
-        h = gelu_exact(h)
-        return h + adaptive_avg_pool1d(x, self.features)
+        in_features = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        gamma = self.param("ln_scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        beta = self.param("ln_bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        args = (x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype),
+                gamma.astype(self.dtype), beta.astype(self.dtype))
+        if self.use_pallas:
+            return fused_spectre_linear(*args)
+        return spectre_linear_apply(*args)
 
 
 class MHPermutMix(nn.Module):
@@ -62,27 +76,51 @@ class MHPermutMix(nn.Module):
     sign patterns, reinterprets as [B, N, E*H], projects back with
     SpectreLinear. ``token_dim`` must equal N (the reference requires the
     sequence length at construction; SURVEY.md §5.7).
+
+    ``impl``:
+    - "gather":     exact reference semantics — arbitrary d-element
+                    permutations applied via XLA gather.
+    - "structured": tile-structured random orthogonal mix (signs + 128-lane
+                    tile permutation + intra-tile Hadamard; ops/permute.py)
+                    with the same mixing statistics, MXU/DMA-native. With
+                    ``use_pallas`` it runs as the scalar-prefetch Pallas
+                    kernel (ops/pallas/structured_mix.py).
     """
 
     embed_dim: int
     token_dim: int
     num_heads: int
     out_channels: int
+    impl: str = "gather"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.embed_dim * self.token_dim
+        x = x.astype(self.dtype)
 
-        def init_tables():
-            return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+        if self.impl == "structured":
+            def init_tables():
+                return make_structured_tables(self.make_rng("params"), self.num_heads, d)
 
-        tables = self.variable("buffers", "mix_tables", init_tables)
-        perms, signs = tables.value
-        mixed = permut_mix(x.astype(self.dtype), perms, signs.astype(self.dtype), self.token_dim)
+            tables = self.variable("buffers", "mix_tables", init_tables)
+            tile_perms, signs = tables.value
+            mix = structured_mix_pallas if self.use_pallas else structured_mix
+            mixed = mix(x, tile_perms, signs.astype(self.dtype), self.token_dim)
+        elif self.impl == "gather":
+            def init_tables():
+                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+
+            tables = self.variable("buffers", "mix_tables", init_tables)
+            perms, signs = tables.value
+            mixed = permut_mix(x, perms, signs.astype(self.dtype), self.token_dim)
+        else:
+            raise ValueError(f"unknown MHPermutMix impl {self.impl!r}")
         return SpectreLinear(self.out_channels, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="linear")(mixed)
+                             param_dtype=self.param_dtype,
+                             use_pallas=self.use_pallas, name="linear")(mixed)
 
 
 class BinaryLinear(nn.Module):

@@ -23,8 +23,11 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from spectre_tpu.models.layers import MHPermutMix
 from spectre_tpu.ops import fft2_real_matmul, haar_dwt_mix
+from spectre_tpu.ops.pallas import flash_attention
 
 Dtype = Any
 
@@ -88,9 +91,22 @@ class AttentionMixer(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        attention_fn = nn.dot_product_attention
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            # fused VMEM-resident attention kernel (ops/pallas/attention.py);
+            # flax hands q/k/v as [B, N, H, D]
+            def attention_fn(query, key, value, **kwargs):  # noqa: F811
+                out = flash_attention(
+                    jnp.transpose(query, (0, 2, 1, 3)),
+                    jnp.transpose(key, (0, 2, 1, 3)),
+                    jnp.transpose(value, (0, 2, 1, 3)),
+                )
+                return jnp.transpose(out, (0, 2, 1, 3))
+
         return nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.embed_dim,
@@ -99,6 +115,7 @@ class AttentionMixer(nn.Module):
             deterministic=deterministic,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_fn=attention_fn,
             name="mhsa",
         )(x, x)
 
@@ -112,12 +129,15 @@ def make_mixer(
     dropout: float = 0.0,
     dtype=jnp.float32,
     param_dtype=jnp.float32,
+    mix_impl: str = "gather",
+    use_pallas: bool = False,
     name: str = "mix_layer",
 ) -> nn.Module:
     """Mixer factory keyed by the config ``method`` knob."""
     if method == "permut_mix":
         return MHPermutMix(embed_dim=embed_dim, token_dim=seq_length,
                            num_heads=num_heads, out_channels=embed_dim,
+                           impl=mix_impl, use_pallas=use_pallas,
                            dtype=dtype, param_dtype=param_dtype, name=name)
     if method == "fft_bare":
         return FNetMixer(dtype=dtype, name=name)
@@ -130,6 +150,6 @@ def make_mixer(
         return DWTMixer(axis=-2, name=name)
     if method == "attention":
         return AttentionMixer(embed_dim=embed_dim, num_heads=num_heads,
-                              dropout=dropout, dtype=dtype,
+                              dropout=dropout, dtype=dtype, use_pallas=use_pallas,
                               param_dtype=param_dtype, name=name)
     raise ValueError(f"unknown mixer method {method!r}; expected one of {MIXERS}")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from types import SimpleNamespace
 
+import jax
 import jax.numpy as jnp
 
 from spectre_tpu.models.spectre import SpectreViT
@@ -26,6 +27,10 @@ def build_model(config: SimpleNamespace):
     name = getattr(config, "model", "spectre_vit")
     dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
     param_dtype = _DTYPES[getattr(config, "param_dtype", "float32")]
+    # Pallas kernels compile only on TPU backends; on CPU (tests, dry runs)
+    # the jnp reference path is the same math and much faster than interpret
+    use_pallas = bool(getattr(config, "use_pallas", False)) and \
+        jax.default_backend() in ("tpu", "axon")
     common = dict(
         img_size=config.img_size,
         patch_size=config.patch_size,
@@ -39,12 +44,15 @@ def build_model(config: SimpleNamespace):
         dtype=dtype,
         param_dtype=param_dtype,
     )
+    mix_impl = getattr(config, "mix_impl", "gather")
     if name == "vit":
-        return ViT(**common)
+        return ViT(use_pallas=use_pallas, **common)
     if name == "spectre_vit":
-        return SpectreViT(method=getattr(config, "method", "permut_mix"), **common)
+        return SpectreViT(method=getattr(config, "method", "permut_mix"),
+                          mix_impl=mix_impl, use_pallas=use_pallas, **common)
     if name == "spectre_branch":
-        return SpectreBranch(method=getattr(config, "method", "permut_mix"), **common)
+        return SpectreBranch(method=getattr(config, "method", "permut_mix"),
+                             mix_impl=mix_impl, use_pallas=use_pallas, **common)
     raise ValueError(f"unknown model {name!r}; expected vit|spectre_vit|spectre_branch")
 
 

@@ -41,6 +41,8 @@ class SpectreEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     method: str = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -54,6 +56,8 @@ class SpectreEncoderLayer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            mix_impl=self.mix_impl,
+            use_pallas=self.use_pallas,
             name="mix_layer",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -68,10 +72,12 @@ class SpectreEncoderLayer(nn.Module):
         x = norm1(mixed) + x
 
         ff = SpectreLinear(self.dim_feedforward, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="linear1")(x)
+                           param_dtype=self.param_dtype,
+                           use_pallas=self.use_pallas, name="linear1")(x)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         ff = SpectreLinear(self.d_model, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="linear3")(ff)
+                           param_dtype=self.param_dtype,
+                           use_pallas=self.use_pallas, name="linear3")(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         return norm2(x + ff)
 
@@ -84,6 +90,8 @@ class SpectreEncoder(nn.Module):
     dim_feedforward: int
     dropout: float
     method: str = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     use_final_norm: bool = False  # reference SpectreViT passes norm=None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -99,6 +107,8 @@ class SpectreEncoder(nn.Module):
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
                 method=self.method,
+                mix_impl=self.mix_impl,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
@@ -120,6 +130,8 @@ class SpectreViT(nn.Module):
     hidden_dim: int = 3072
     dropout: float = 0.1
     method: str = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -146,6 +158,8 @@ class SpectreViT(nn.Module):
             dim_feedforward=self.hidden_dim,
             dropout=self.dropout,
             method=self.method,
+            mix_impl=self.mix_impl,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder_blocks",
@@ -153,7 +167,8 @@ class SpectreViT(nn.Module):
 
         cls_token = x[:, 0, :]
         logits = SpectreLinear(self.num_classes, dtype=self.dtype,
-                               param_dtype=self.param_dtype, name="mlp_head")(cls_token)
+                               param_dtype=self.param_dtype,
+                               use_pallas=self.use_pallas, name="mlp_head")(cls_token)
         logits = logits.astype(jnp.float32)
         if return_features:
             return logits, cls_token.astype(jnp.float32)

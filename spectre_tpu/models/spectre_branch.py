@@ -61,6 +61,8 @@ class SpectreBranchEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     method: str | None = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -76,6 +78,7 @@ class SpectreBranchEncoderLayer(nn.Module):
             mixer = make_mixer(self.method, embed_dim=self.d_model,
                                seq_length=self.seq_length, num_heads=self.nhead,
                                dropout=self.dropout, dtype=self.dtype,
+                               mix_impl=self.mix_impl, use_pallas=self.use_pallas,
                                param_dtype=self.param_dtype, name="mix_layer")
             mixed = (mixer(x, deterministic=deterministic)
                      if isinstance(mixer, AttentionMixer) else mixer(x))
@@ -139,6 +142,8 @@ class SpectreBranchEncoder(nn.Module):
     dropout: float
     in_channels: int = 3
     method: str | None = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -156,7 +161,9 @@ class SpectreBranchEncoder(nn.Module):
             y = SpectreBranchEncoderLayer(
                 seq_length=self.seq_length, d_model=self.d_model,
                 nhead=self.nhead, dim_feedforward=self.dim_feedforward,
-                dropout=self.dropout, method=self.method, dtype=self.dtype,
+                dropout=self.dropout, method=self.method,
+                mix_impl=self.mix_impl, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"layer_{i}",
             )(output, deterministic=deterministic)
             fused = jnp.concatenate([y, feats[i]], axis=-1)
@@ -177,6 +184,8 @@ class SpectreBranch(nn.Module):
     hidden_dim: int = 3072
     dropout: float = 0.1
     method: str | None = "permut_mix"
+    mix_impl: str = "gather"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -196,7 +205,9 @@ class SpectreBranch(nn.Module):
             seq_length=num_patches + 1, d_model=self.embed_dim,
             nhead=self.num_heads, dim_feedforward=self.hidden_dim,
             dropout=self.dropout, in_channels=self.in_channels,
-            method=self.method, dtype=self.dtype, param_dtype=self.param_dtype,
+            method=self.method, mix_impl=self.mix_impl,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="encoder_blocks")(x, img, deterministic=deterministic)
 
         cls_token = x[:, 0, :]

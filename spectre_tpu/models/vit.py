@@ -38,6 +38,7 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -45,6 +46,7 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         attn = AttentionMixer(embed_dim=self.d_model, num_heads=self.nhead,
                               dropout=self.dropout, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
                               param_dtype=self.param_dtype, name="self_attn")(
             x, deterministic=deterministic)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -72,6 +74,7 @@ class ViT(nn.Module):
     num_heads: int = 12
     hidden_dim: int = 3072
     dropout: float = 0.1
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -95,6 +98,7 @@ class ViT(nn.Module):
                 nhead=self.num_heads,
                 dim_feedforward=self.hidden_dim,
                 dropout=self.dropout,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"encoder_{i}",

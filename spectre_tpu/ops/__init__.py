@@ -40,7 +40,15 @@ from spectre_tpu.ops.linear import (
     layer_norm,
     spectre_linear_apply,
 )
-from spectre_tpu.ops.permute import invert_permutation, make_mix_tables, permut_mix
+from spectre_tpu.ops.permute import (
+    hadamard_matrix,
+    invert_permutation,
+    make_mix_tables,
+    make_structured_tables,
+    permut_mix,
+    pick_tile,
+    structured_mix,
+)
 
 __all__ = [
     "haar_dwt1d", "haar_dwt2d", "haar_dwt2d_multilevel", "haar_dwt_mix",
@@ -52,4 +60,5 @@ __all__ = [
     "adaptive_avg_pool1d", "adaptive_pool_matrix", "gelu_exact", "layer_norm",
     "spectre_linear_apply",
     "invert_permutation", "make_mix_tables", "permut_mix",
+    "hadamard_matrix", "make_structured_tables", "pick_tile", "structured_mix",
 ]

@@ -49,6 +49,12 @@ def adaptive_avg_pool1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     in_len = x.shape[-1]
     if in_len == out_len:
         return x
+    if in_len % out_len == 0:
+        # uniform windows: torch adaptive pool degenerates to a grouped mean —
+        # a VPU reshape-reduce instead of an [L, Lo] matmul (the flagship's
+        # E*H -> E residual would otherwise double the largest GEMM's FLOPs)
+        g = in_len // out_len
+        return jnp.mean(x.reshape(*x.shape[:-1], out_len, g), axis=-1)
     m = adaptive_pool_matrix(in_len, out_len, x.dtype)
     return jnp.matmul(x, m)
 

@@ -1,0 +1,113 @@
+"""Tile-structured mixing kernel — the TPU-native "attention replacement".
+
+The hottest op in the model family is MHPermutMix's gather+sign multiply
+(SURVEY.md §3: touches H*N*E elements per layer). An arbitrary d-element
+permutation is irregular memory traffic; this kernel implements the
+structured factorization from ops/permute.py::make_structured_tables:
+
+    per head h:  y_h = (tile-permute_h(x) * signs_h) @ (I kron H_tile)
+
+- the tile permutation costs ZERO compute: it is pure block routing, done by
+  remapping each grid program's input block index through the scalar-
+  prefetched ``tile_perms`` table (PrefetchScalarGridSpec — indices are in
+  SMEM before the body runs, so the DMA engine fetches the right tile);
+- the sign flip is one VPU multiply on the tile in VMEM;
+- the intra-tile Hadamard is one [tile, tile] MXU matmul per block.
+
+Every HBM byte moves exactly once, in contiguous 128-lane tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectre_tpu.ops.pallas.common import cdiv, use_interpret
+from spectre_tpu.ops.permute import hadamard_matrix
+
+_TILE_B = 256
+
+
+def _kernel(perm_ref, x_ref, s_ref, h_ref, o_ref):
+    x = x_ref[:].reshape(x_ref.shape[0], x_ref.shape[-1])  # [TB, t]
+    s = s_ref[:].reshape(1, s_ref.shape[-1]).astype(x.dtype)
+    mixed = jnp.dot(x * s, h_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = mixed.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _forward(x, tile_perms, signs, token_dim, interpret):
+    interpret = use_interpret() if interpret is None else interpret
+    B = x.shape[0]
+    x2 = x.reshape(B, -1)
+    d = x2.shape[-1]
+    H, n_tiles = tile_perms.shape
+    t = d // n_tiles
+    had = hadamard_matrix(t, x.dtype)
+    xt = x2.reshape(B, n_tiles, t)
+    signs_t = signs.reshape(H, n_tiles, t).astype(x.dtype)
+
+    tile_b = min(_TILE_B, max(8, B))
+    grid = (cdiv(B, tile_b), H, n_tiles)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                # input tile routed through the prefetched permutation table
+                pl.BlockSpec((tile_b, 1, t),
+                             lambda i, h, j, perm: (i, perm[h, j], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda i, h, j, perm: (h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, t), lambda i, h, j, perm: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, 1, 1, t),
+                                   lambda i, h, j, perm: (i, h, j, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, n_tiles, t), x.dtype),
+        interpret=interpret,
+    )(tile_perms, xt, signs_t, had)
+    return out.reshape(B, token_dim, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def structured_mix_pallas(
+    x: jnp.ndarray,
+    tile_perms: jnp.ndarray,
+    signs: jnp.ndarray,
+    token_dim: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Same contract as ops.permute.structured_mix: x [B, N, E] (or [B, d]),
+    tile_perms [H, T] int32, signs [1, H, d] -> [B, token_dim, d*H/token_dim].
+
+    Custom VJP: the kernel runs the forward; the backward is the VJP of the
+    jnp reference (transposed Hadamard matmul + inverse tile scatter — plain
+    XLA ops). Tables are fixed buffers, but their cotangents are still
+    defined so the op composes under any transform."""
+    return _forward(x, tile_perms, signs, token_dim, interpret)
+
+
+def _fwd(x, tile_perms, signs, token_dim, interpret):
+    return _forward(x, tile_perms, signs, token_dim, interpret), (x, tile_perms, signs)
+
+
+def _bwd(token_dim, interpret, res, g):
+    from spectre_tpu.ops.permute import structured_mix
+
+    x, tile_perms, signs = res
+    _, vjp = jax.vjp(
+        lambda x_, p_, s_: structured_mix(x_, p_, s_, token_dim), x, tile_perms, signs
+    )
+    return vjp(g)
+
+
+structured_mix_pallas.defvjp(_fwd, _bwd)

@@ -43,6 +43,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     config = apply_overrides(parse_config(args.config), args.set)
+    if getattr(config, "use_distillation", False):
+        # distillation phase (reference train.py:298-396) — delegate
+        from spectre_tpu.distill.loop import distill_from_config
+
+        state, metrics = distill_from_config(
+            config, max_steps=args.steps, synthetic=args.synthetic,
+            teacher_img_size=int(getattr(config, "teacher_img_size", 224)))
+        print(f"distill done: step {int(state.step)} loss {metrics['loss']:.4f}")
+        return state, metrics
     if args.steps is not None and args.steps <= config.batch_size:
         # smoke runs shouldn't spin full epochs of a big config
         config.epochs = min(int(config.epochs), max(1, args.steps))

@@ -1,0 +1,55 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectre_tpu.export import (
+    export_forward,
+    load_exported,
+    load_weights_bin,
+    save_exported,
+    save_weights_bin,
+    verify_export,
+)
+from spectre_tpu.models import SpectreViT
+
+
+def tiny_model_and_vars():
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=3, num_classes=10,
+                       embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=32,
+                       dropout=0.0)
+    x = jnp.zeros((2, 3, 8, 8))
+    variables = model.init(jax.random.key(0), x)
+    return model, variables, x
+
+
+def test_export_roundtrip_and_parity(tmp_path, rng):
+    model, variables, x0 = tiny_model_and_vars()
+    x = jnp.asarray(rng.standard_normal(x0.shape).astype(np.float32))
+    exported = export_forward(model, variables, x)
+    path = str(tmp_path / "model.stablehlo")
+    save_exported(exported, path)
+    err = verify_export(path, model, variables, x)
+    assert err <= 1e-5
+    # deserialized artifact is callable standalone
+    out = load_exported(path).call(x)
+    assert np.asarray(out).shape == (2, 10)
+
+
+def test_weights_bin_roundtrip(tmp_path):
+    model, variables, _ = tiny_model_and_vars()
+    path = str(tmp_path / "weights.stw")
+    save_weights_bin(variables, path)
+    loaded = load_weights_bin(path)
+    assert len(loaded) > 5
+    # every leaf round-trips exactly
+    import jax as _jax
+    flat = {}
+    for p, leaf in _jax.tree_util.tree_flatten_with_path(variables)[0]:
+        arr = np.asarray(leaf)
+        key = [k for k in loaded if arr.shape == loaded[k].shape]
+        assert key, f"missing tensor of shape {arr.shape}"
+    total_ref = sum(np.asarray(v).size for v in _jax.tree.leaves(variables))
+    total_loaded = sum(v.size for v in loaded.values())
+    assert total_ref == total_loaded
+    for name, arr in loaded.items():
+        assert np.isfinite(arr).all() or arr.dtype == np.int32

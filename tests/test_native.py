@@ -1,0 +1,108 @@
+"""Native runtime parity: the C++ inference runner and data loader must match
+the JAX/python implementations exactly (SURVEY.md §2.2 "ghost Rust inference
+crate" capability — here a first-party C++ runner)."""
+
+import os
+import struct
+import subprocess
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+BUILD = os.path.join(REPO, "native", "build")
+
+
+@pytest.fixture(scope="module")
+def native_built():
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return BUILD
+
+
+def _cfg(**over):
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=3, num_classes=10,
+        embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=32,
+        dropout=0.0, batch_size=4, epochs=1, learning_rate=1e-3,
+        random_seed=0, compute_dtype="float32", param_dtype="float32",
+    )
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("mix_impl", ["gather", "structured"])
+def test_cpp_inference_matches_jax(native_built, tmp_path, mix_impl):
+    from spectre_tpu.repl.export import export_from_config
+
+    outdir = str(tmp_path / f"export_{mix_impl}")
+    export_from_config(_cfg(mix_impl=mix_impl), outdir=outdir, batch=3)
+
+    runner = os.path.join(native_built, "spectre_infer")
+    r = subprocess.run(
+        [runner, "--weights", f"{outdir}/weights.stw", "--meta", f"{outdir}/meta.txt",
+         "--input", f"{outdir}/example_input.f32", "--batch", "3",
+         "--out", f"{outdir}/native_logits.f32"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    got = np.fromfile(f"{outdir}/native_logits.f32", np.float32).reshape(3, 10)
+    want = np.fromfile(f"{outdir}/example_logits.f32", np.float32).reshape(3, 10)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+
+
+def test_native_dataio_cifar_decode(native_built, tmp_path):
+    from spectre_tpu.data import native_loader
+
+    assert native_loader.available()
+    # synthesize a 5-record cifar-100-binary file
+    rng = np.random.default_rng(0)
+    path = tmp_path / "train.bin"
+    records = []
+    labels = []
+    pixels = []
+    for i in range(5):
+        coarse, fine = i % 20, (3 * i) % 100
+        px = rng.integers(0, 256, 3072, dtype=np.uint8)
+        records.append(bytes([coarse, fine]) + px.tobytes())
+        labels.append(fine)
+        pixels.append(px)
+    path.write_bytes(b"".join(records))
+    images, got_labels = native_loader.load_cifar100_bin(str(path))
+    assert images.shape == (5, 3, 32, 32)
+    np.testing.assert_array_equal(got_labels, np.asarray(labels, np.int32))
+    np.testing.assert_allclose(
+        images[2].ravel(), pixels[2].astype(np.float32) / 255.0, rtol=1e-6)
+
+
+def test_native_dataio_mnist_idx(native_built, tmp_path):
+    from spectre_tpu.data import native_loader
+
+    rng = np.random.default_rng(1)
+    n, rows, cols = 7, 28, 28
+    img = rng.integers(0, 256, (n, rows, cols), dtype=np.uint8)
+    lab = rng.integers(0, 10, n, dtype=np.uint8)
+    ip = tmp_path / "train-images-idx3-ubyte"
+    lp = tmp_path / "train-labels-idx1-ubyte"
+    ip.write_bytes(struct.pack(">IIII", 0x803, n, rows, cols) + img.tobytes())
+    lp.write_bytes(struct.pack(">II", 0x801, n) + lab.tobytes())
+    images, labels = native_loader.load_mnist_idx(str(ip), str(lp))
+    assert images.shape == (n, 1, 28, 28)
+    np.testing.assert_array_equal(labels, lab.astype(np.int32))
+    np.testing.assert_allclose(images[3, 0], img[3] / 255.0, rtol=1e-6)
+
+
+def test_native_gather_batch(native_built):
+    from spectre_tpu.data import native_loader
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(10, 1, 4, 4)).astype(np.float32)
+    labels = np.arange(10, dtype=np.int32)
+    perm = np.asarray([7, 2, 9, 0], np.int64)
+    bi, bl = native_loader.gather_batch(images, labels, perm)
+    np.testing.assert_array_equal(bl, labels[perm])
+    np.testing.assert_array_equal(bi, images[perm])
