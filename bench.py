@@ -27,8 +27,8 @@ import numpy as np
 # B=256). Placeholder pending a measured number — see BASELINE.md.
 BASELINE_IMG_PER_SEC = 3000.0
 
-WARMUP = 10
-ITERS = 50
+WARMUP = 20
+ITERS = 200
 
 
 def main():
@@ -51,23 +51,17 @@ def main():
     labels = jnp.asarray(rng.integers(0, cfg.num_classes, batch).astype(np.int32))
 
     augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
-    train_step = make_train_step(model)
-    key = jax.random.key(0)
-
-    def step(state, key):
-        key, k = jax.random.split(key)
-        x = augment(k, images)
-        state, metrics = train_step(state, x, labels)
-        return state, key, metrics
+    # augmentation compiles into the step: ONE dispatch per iteration
+    train_step = make_train_step(model, augment_fn=augment)
 
     # compile + warmup
     for _ in range(WARMUP):
-        state, key, metrics = step(state, key)
+        state, metrics = train_step(state, images, labels)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, key, metrics = step(state, key)
+        state, metrics = train_step(state, images, labels)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 

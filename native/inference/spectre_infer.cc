@@ -249,18 +249,17 @@ void permut_mix(const Weights& w, const Config& c, const std::string& prefix,
       for (int cc = 0; cc < t; ++cc)
         had[(size_t)r * t + cc] = (__builtin_popcount(r & cc) & 1) ? -1.0f : 1.0f;
     const float scale = 1.0f / std::sqrt((float)t);
-    std::vector<float> signed_tile(t);
     for (int h = 0; h < H; ++h)
       for (int tt = 0; tt < T; ++tt) {
         const int src = tperm.i[(size_t)h * T + tt];
+        // signs apply AFTER the intra-tile Hadamard (ops/permute.py)
         const float* sg = signs.f.data() + ((size_t)h * T + tt) * t;
         const float* xin = x.data() + (size_t)src * t;
-        for (int a = 0; a < t; ++a) signed_tile[a] = xin[a] * sg[a];
         float* o = mixed.data() + ((size_t)h * T + tt) * t;
         for (int b = 0; b < t; ++b) {
           float s = 0;
-          for (int a = 0; a < t; ++a) s += signed_tile[a] * had[(size_t)a * t + b];
-          o[b] = s * scale;
+          for (int a = 0; a < t; ++a) s += xin[a] * had[(size_t)a * t + b];
+          o[b] = s * scale * sg[b];
         }
       }
   } else {

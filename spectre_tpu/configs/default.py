@@ -14,7 +14,11 @@ grad_clip_norm = None         # optional global-norm clipping
 # --- precision / compute (TPU-first defaults) ---
 compute_dtype = "bfloat16"    # activations dtype inside the jitted step
 param_dtype = "float32"       # master params stay f32
-use_pallas = True             # use Pallas kernels for hot ops where available
+use_pallas = False            # Pallas kernels available for every hot op but
+                              # OFF by default: measured on v5e (repl/perf.py
+                              # train, serialized), XLA's fusions win at this
+                              # model scale (0.75-0.91 ms/step vs 0.95-1.00
+                              # with kernels). Flip on to run the kernels.
 
 # --- data / infra ---
 data_dir = "data"             # where MNIST/CIFAR files live; synthetic fallback if absent

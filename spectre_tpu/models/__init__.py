@@ -6,6 +6,7 @@ from spectre_tpu.models.layers import (
     LearnedSigmoid,
     MHPermutMix,
     NormalMask,
+    SignPermuteMix,
     SpectreLinear,
 )
 from spectre_tpu.models.mixers import (
@@ -29,7 +30,7 @@ from spectre_tpu.models.vit import TransformerEncoderLayer, ViT
 
 __all__ = [
     "BinaryLinear", "FFTApproximator", "FFTLayer", "LearnableHadamard",
-    "LearnedSigmoid", "MHPermutMix", "NormalMask", "SpectreLinear",
+    "LearnedSigmoid", "MHPermutMix", "NormalMask", "SignPermuteMix", "SpectreLinear",
     "MIXERS", "AttentionMixer", "DWTMixer", "FNetMixer", "MHFFTMixer", "make_mixer",
     "PatchEmbedding", "SpectralPatchEmbed",
     "build_model", "example_input",

@@ -32,7 +32,7 @@ from spectre_tpu.ops import (
     spectre_linear_apply,
     structured_mix,
 )
-from spectre_tpu.ops.pallas import fused_spectre_linear, structured_mix_pallas
+from spectre_tpu.ops.pallas import fused_spectre_linear
 
 Dtype = Any
 
@@ -107,8 +107,12 @@ class MHPermutMix(nn.Module):
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             tile_perms, signs = tables.value
-            mix = structured_mix_pallas if self.use_pallas else structured_mix
-            mixed = mix(x, tile_perms, signs.astype(self.dtype), self.token_dim)
+            # measured on v5e (repl/perf.py train): XLA lowers the tile-take +
+            # Hadamard einsum better than the per-tile Pallas grid (4160 tiny
+            # programs is launch-bound), so the model path always uses the
+            # XLA formulation; structured_mix_pallas stays for direct use.
+            mixed = structured_mix(x, tile_perms, signs.astype(self.dtype),
+                                   self.token_dim)
         elif self.impl == "gather":
             def init_tables():
                 return make_mix_tables(self.make_rng("params"), self.num_heads, d)
@@ -121,6 +125,30 @@ class MHPermutMix(nn.Module):
         return SpectreLinear(self.out_channels, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              use_pallas=self.use_pallas, name="linear")(mixed)
+
+
+class SignPermuteMix(nn.Module):
+    """Single-permutation sign mixing (reference layers.py:26-50, shipped
+    commented-out; part of the documented research surface — SURVEY.md §2
+    'experimental layers'). One fixed random permutation + sign pattern over
+    the flattened sequence, no multi-head expansion, identity-shaped."""
+
+    embed_dim: int
+    token_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.embed_dim * self.token_dim
+
+        def init_tables():
+            return make_mix_tables(self.make_rng("params"), 1, d)
+
+        perms, signs = self.variable("buffers", "mix_tables", init_tables).value
+        B = x.shape[0]
+        flat = x.astype(self.dtype).reshape(B, d)
+        mixed = jnp.take(flat, perms[0], axis=1) * signs[0, 0]
+        return mixed.reshape(x.shape)
 
 
 class BinaryLinear(nn.Module):

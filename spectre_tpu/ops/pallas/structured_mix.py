@@ -5,16 +5,19 @@ The hottest op in the model family is MHPermutMix's gather+sign multiply
 permutation is irregular memory traffic; this kernel implements the
 structured factorization from ops/permute.py::make_structured_tables:
 
-    per head h:  y_h = (tile-permute_h(x) * signs_h) @ (I kron H_tile)
+    per head h:  y_h = signs_h * (tile-permute_h(x) @ (I kron H_tile))
 
 - the tile permutation costs ZERO compute: it is pure block routing, done by
-  remapping each grid program's input block index through the scalar-
-  prefetched ``tile_perms`` table (PrefetchScalarGridSpec — indices are in
+  remapping each grid program's input lane-block index through the scalar-
+  prefetched ``tile_perms`` table (PrefetchScalarGridSpec — indices land in
   SMEM before the body runs, so the DMA engine fetches the right tile);
-- the sign flip is one VPU multiply on the tile in VMEM;
-- the intra-tile Hadamard is one [tile, tile] MXU matmul per block.
+- the intra-tile Hadamard is one [tile, tile] MXU matmul per block;
+- the output-side sign flip is an XLA elementwise pass outside the kernel
+  (Mosaic block rules make a per-(head, tile) vector operand awkward, and the
+  multiply fuses with the downstream projection's input read anyway).
 
-Every HBM byte moves exactly once, in contiguous 128-lane tiles.
+Everything stays 2D [rows, lanes] with (>=8, 128)-aligned blocks — the layout
+Mosaic wants. Every HBM byte moves exactly once, in contiguous lane tiles.
 """
 
 from __future__ import annotations
@@ -32,11 +35,9 @@ from spectre_tpu.ops.permute import hadamard_matrix
 _TILE_B = 256
 
 
-def _kernel(perm_ref, x_ref, s_ref, h_ref, o_ref):
-    x = x_ref[:].reshape(x_ref.shape[0], x_ref.shape[-1])  # [TB, t]
-    s = s_ref[:].reshape(1, s_ref.shape[-1]).astype(x.dtype)
-    mixed = jnp.dot(x * s, h_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = mixed.reshape(o_ref.shape).astype(o_ref.dtype)
+def _kernel(perm_ref, x_ref, h_ref, o_ref):
+    o_ref[:] = jnp.dot(x_ref[:], h_ref[:],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _forward(x, tile_perms, signs, token_dim, interpret):
@@ -47,8 +48,6 @@ def _forward(x, tile_perms, signs, token_dim, interpret):
     H, n_tiles = tile_perms.shape
     t = d // n_tiles
     had = hadamard_matrix(t, x.dtype)
-    xt = x2.reshape(B, n_tiles, t)
-    signs_t = signs.reshape(H, n_tiles, t).astype(x.dtype)
 
     tile_b = min(_TILE_B, max(8, B))
     grid = (cdiv(B, tile_b), H, n_tiles)
@@ -59,22 +58,21 @@ def _forward(x, tile_perms, signs, token_dim, interpret):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                # input tile routed through the prefetched permutation table
-                pl.BlockSpec((tile_b, 1, t),
-                             lambda i, h, j, perm: (i, perm[h, j], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, t), lambda i, h, j, perm: (h, j, 0),
+                # input lane-block routed through the prefetched permutation
+                pl.BlockSpec((tile_b, t), lambda i, h, j, perm: (i, perm[h, j]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, t), lambda i, h, j, perm: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile_b, 1, 1, t),
-                                   lambda i, h, j, perm: (i, h, j, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (tile_b, t),
+                lambda i, h, j, perm, _T=n_tiles: (i, h * _T + j),
+                memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, n_tiles, t), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H * d), x.dtype),
         interpret=interpret,
-    )(tile_perms, xt, signs_t, had)
+    )(tile_perms, x2, had)
+    out = out * signs.reshape(1, H * d).astype(out.dtype)
     return out.reshape(B, token_dim, -1)
 
 

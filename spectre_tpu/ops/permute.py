@@ -106,6 +106,10 @@ def make_structured_tables(
     tile_perms = jnp.stack(
         [jax.random.permutation(k, n_tiles) for k in jax.random.split(kp, num_heads)]
     ).astype(jnp.int32)
+    # signs apply AFTER the intra-tile Hadamard (structured_mix): the
+    # composition is D_s . (I kron H_t) . P_tile; an output-side diagonal
+    # lets the Pallas kernel stay a pure block-gather+matmul with the sign
+    # flip fused into the surrounding XLA elementwise pass.
     signs = jax.random.randint(ks, (num_heads, d), 0, 2).astype(jnp.float32) * 2 - 1
     return tile_perms, signs[None]
 
@@ -126,10 +130,10 @@ def structured_mix(
     t = d // n_tiles
     had = hadamard_matrix(t, x.dtype)
     xt = x.reshape(B, n_tiles, t)
-    # [B, H, T, t]: per-head tile gather (block moves), then signs, then H_t
+    # [B, H, T, t]: per-head tile gather (block moves), then H_t, then signs
     gathered = jnp.take(xt, tile_perms, axis=1)  # [B, H, T, t]
-    signed = gathered * signs.reshape(1, H, n_tiles, t)
-    mixed = jnp.einsum("bhnt,ts->bhns", signed, had)
+    mixed = jnp.einsum("bhnt,ts->bhns", gathered, had)
+    mixed = mixed * signs.reshape(1, H, n_tiles, t)
     return mixed.reshape(B, token_dim, -1)
 
 

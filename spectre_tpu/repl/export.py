@@ -57,7 +57,10 @@ def export_from_config(config, checkpoint: str | None = None,
         variables = state.variables()
 
     exported = export_forward(model, variables, jax.numpy.asarray(x))
-    err = verify_export(exported, model, variables, jax.numpy.asarray(x))
+    # bf16 compute legitimately differs across compilations (fusion-dependent
+    # rounding); exact parity is only promised for f32 models
+    atol = 1e-5 if getattr(config, "compute_dtype", "float32") == "float32" else 5e-2
+    err = verify_export(exported, model, variables, jax.numpy.asarray(x), atol=atol)
     save_exported(exported, os.path.join(outdir, "model.stablehlo"))
     save_weights_bin(variables, os.path.join(outdir, "weights.stw"))
 

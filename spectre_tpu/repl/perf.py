@@ -1,0 +1,197 @@
+"""Performance measurement harnesses.
+
+Capability parity with the reference benchmark scripts (SURVEY.md §6):
+
+- ``latency``   end-to-end SpectreViT forward latency sweep over
+                patch x heads (reference test.py:31-62 — including fixing its
+                bug of printing sweep vars while benchmarking the config
+                model; here the swept values are actually used)
+- ``linear``    SpectreLinear vs plain Dense timing across dims 2^8..2^12
+                (test.py:65-152), incl. param counts
+- ``mixer``     MHPermutMix (gather + structured + Pallas) vs FFT2 mixing
+                time across dims (orthogonal_permut.py:76-134)
+- ``encoder``   one SpectreEncoderLayer step under jax.profiler ->
+                ProfilerParser table + plots/encoder_layer.csv
+                (test.py:154-179)
+- ``train``     full train-step throughput for a config, Pallas on/off and
+                gather/structured — the tuning harness for bench.py
+
+    python -m spectre_tpu.repl.perf latency|linear|mixer|encoder|train [--config ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_fn(fn, *args, warmup=5, iters=50):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def cmd_latency(args):
+    from spectre_tpu.models import SpectreViT
+
+    b = args.batch
+    print(f"SpectreViT forward latency (B={b}, {args.warmup} warmup + {args.iters} iters)")
+    for patch, heads in itertools.product([4, 8], [1, 2, 4, 8]):
+        model = SpectreViT(img_size=32, patch_size=patch, in_channels=3,
+                           num_classes=100, embed_dim=args.embed_dim,
+                           num_encoders=4, num_heads=heads,
+                           hidden_dim=args.embed_dim, dropout=0.0,
+                           mix_impl=args.mix_impl, use_pallas=args.use_pallas)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (b, 3, 32, 32)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx))
+        dt = _time_fn(fwd, variables, x, warmup=args.warmup, iters=args.iters)
+        print(f"  patch={patch} heads={heads}: {dt * 1e3:.3f} ms/iter "
+              f"({b / dt:.0f} img/s)")
+
+
+def cmd_linear(args):
+    import flax.linen as nn
+
+    from spectre_tpu.models.layers import SpectreLinear
+
+    print("SpectreLinear vs nn.Dense (square dims), avg ms/iter")
+    for p in range(8, 13):
+        dim = 2 ** p
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (args.batch, dim)).astype(np.float32))
+        sl = SpectreLinear(dim, use_pallas=args.use_pallas)
+        dense = nn.Dense(dim)
+        vs, vd = sl.init(jax.random.key(0), x), dense.init(jax.random.key(0), x)
+        n_sl = sum(int(a.size) for a in jax.tree.leaves(vs))
+        n_d = sum(int(a.size) for a in jax.tree.leaves(vd))
+        t_sl = _time_fn(jax.jit(lambda v, xx: sl.apply(v, xx)), vs, x,
+                        warmup=args.warmup, iters=args.iters)
+        t_d = _time_fn(jax.jit(lambda v, xx: dense.apply(v, xx)), vd, x,
+                       warmup=args.warmup, iters=args.iters)
+        print(f"  dim={dim}: spectre {t_sl * 1e3:.3f} ms ({n_sl:,} params) | "
+              f"dense {t_d * 1e3:.3f} ms ({n_d:,} params) | "
+              f"ratio {t_sl / t_d:.2f}x")
+
+
+def cmd_mixer(args):
+    from spectre_tpu.ops import (
+        fft2_real_matmul, make_mix_tables, make_structured_tables,
+        permut_mix, structured_mix)
+    from spectre_tpu.ops.pallas import structured_mix_pallas, use_interpret
+
+    heads = args.heads
+    print(f"mixing time, H={heads}, avg ms/iter (dims 2^6..2^{args.max_pow})")
+    for p in range(6, args.max_pow + 1):
+        d = 2 ** p
+        n = 8  # tokens; embed = d // n
+        if d // n < 8:
+            continue
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (args.batch, n, d // n)).astype(np.float32))
+        perms, signs = make_mix_tables(jax.random.key(0), heads, d)
+        tperms, ssigns = make_structured_tables(jax.random.key(0), heads, d)
+
+        t_g = _time_fn(jax.jit(partial(permut_mix, token_dim=n)), x, perms, signs,
+                       warmup=args.warmup, iters=args.iters)
+        t_s = _time_fn(jax.jit(partial(structured_mix, token_dim=n)), x, tperms,
+                       ssigns, warmup=args.warmup, iters=args.iters)
+        t_f = _time_fn(jax.jit(fft2_real_matmul), x,
+                       warmup=args.warmup, iters=args.iters)
+        row = (f"  d={d}: gather {t_g * 1e3:.3f} | structured {t_s * 1e3:.3f} | "
+               f"fft2 {t_f * 1e3:.3f}")
+        if not use_interpret():
+            t_sp = _time_fn(
+                jax.jit(partial(structured_mix_pallas, token_dim=n)),
+                x, tperms, ssigns, warmup=args.warmup, iters=args.iters)
+            row += f" | structured-pallas {t_sp * 1e3:.3f}"
+        print(row + "  (ms)")
+
+
+def cmd_encoder(args):
+    from spectre_tpu.models.spectre import SpectreEncoderLayer
+    from spectre_tpu.profile import ProfilerParser, trace_step
+
+    layer = SpectreEncoderLayer(seq_length=65, d_model=args.embed_dim,
+                                nhead=args.heads, dim_feedforward=args.embed_dim,
+                                dropout=0.0, mix_impl=args.mix_impl,
+                                use_pallas=args.use_pallas)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (args.batch, 65, args.embed_dim)).astype(np.float32))
+    variables = layer.init(jax.random.key(0), x)
+    fwd = jax.jit(lambda v, xx: layer.apply(v, xx))
+    jax.block_until_ready(fwd(variables, x))  # compile outside trace
+    with trace_step("plots/encoder_trace") as t:
+        jax.block_until_ready(fwd(variables, x))
+    (ProfilerParser(t.path).remove_idle().add_percentages().round()
+     .sort_by_device().head(25).show().to_csv("plots/encoder_layer.csv"))
+    print("wrote plots/encoder_layer.csv")
+
+
+def cmd_train(args):
+    from spectre_tpu.configs import parse_config
+    from spectre_tpu.data import CIFAR100_MEAN, CIFAR100_STD, make_train_augment
+    from spectre_tpu.models import build_model
+    from spectre_tpu.repl.train import apply_overrides
+    from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    for use_pallas, mix_impl in itertools.product([False, True],
+                                                  ["gather", "structured"]):
+        cfg = apply_overrides(parse_config(args.config), args.set)
+        cfg.use_pallas, cfg.mix_impl = use_pallas, mix_impl
+        model = build_model(cfg)
+        b = int(cfg.batch_size)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(
+            0, 1, (b, cfg.in_channels, cfg.img_size, cfg.img_size)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, cfg.num_classes, b).astype(np.int32))
+        tx = make_optimizer(cfg, 195)
+        state = create_train_state(model, tx, images)
+        augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
+        step = make_train_step(model, augment_fn=augment)
+
+        for _ in range(args.warmup):
+            state, m = step(state, images, labels)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = step(state, images, labels)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"  pallas={int(use_pallas)} mix={mix_impl}: {dt * 1e3:.2f} ms/step "
+              f"({b / dt:.0f} img/s)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("cmd", choices=["latency", "linear", "mixer", "encoder", "train"])
+    p.add_argument("--config", default="spectre_tpu/configs/spectre_vit_cifar100.py")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--embed-dim", dest="embed_dim", type=int, default=512)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--max-pow", dest="max_pow", type=int, default=13)
+    p.add_argument("--mix-impl", dest="mix_impl", default="gather")
+    p.add_argument("--use-pallas", dest="use_pallas", action="store_true")
+    p.add_argument("--set", nargs="*", default=[])
+    args = p.parse_args(argv)
+    {"latency": cmd_latency, "linear": cmd_linear, "mixer": cmd_mixer,
+     "encoder": cmd_encoder, "train": cmd_train}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

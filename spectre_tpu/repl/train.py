@@ -35,12 +35,22 @@ def apply_overrides(config, pairs: list[str]):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True, help="path to a python config module")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host SPMD over "
+                        "DCN; reads the standard coordinator env vars)")
     p.add_argument("--steps", type=int, default=None, help="cap total train steps (smoke mode)")
     p.add_argument("--synthetic", action="store_true", help="force hermetic synthetic data")
     p.add_argument("--resume", action="store_true", help="resume from the latest checkpoint")
     p.add_argument("--no-checkpoint", action="store_true")
     p.add_argument("--set", nargs="*", default=[], help="config overrides key=value")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        # the data mesh then spans all processes; XLA routes the gradient
+        # psum over ICI within a slice and DCN across hosts (SURVEY.md §5.8)
+        jax.distributed.initialize()
 
     config = apply_overrides(parse_config(args.config), args.set)
     if getattr(config, "use_distillation", False):

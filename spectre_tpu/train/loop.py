@@ -116,7 +116,9 @@ def train_from_config(
     )
     eval_transform = make_eval_transform(mean, std)
 
-    train_step = make_train_step(model)
+    # augmentation is compiled INTO the train step: one dispatch per step,
+    # raw pixels cross the host boundary, keys derive from the state PRNG
+    train_step = make_train_step(model, augment_fn=augment)
     eval_step = make_eval_step(model)
 
     name = experiment_name(config)
@@ -128,7 +130,6 @@ def train_from_config(
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
 
-    aug_key = jax.random.key(getattr(config, "random_seed", 42) + 1)
     print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
           f"chips={n_chips} batch={batch_size} steps/epoch={steps_per_epoch}")
 
@@ -151,9 +152,7 @@ def train_from_config(
         epoch_metrics = []
         for batch in prefetch_to_mesh(train_iter, mesh,
                                       prefetch=int(getattr(config, "prefetch_depth", 2))):
-            aug_key, k = jax.random.split(aug_key)
-            images = augment(k, batch["image"])
-            state, metrics = train_step(state, images, batch["label"])
+            state, metrics = train_step(state, batch["image"], batch["label"])
             epoch_metrics.append(metrics)
             total_steps += 1
             images_seen += batch_size

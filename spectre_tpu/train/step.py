@@ -61,27 +61,43 @@ def _accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32).mean()
 
 
-def make_train_step(model) -> Callable:
+def make_train_step(model, augment_fn: Callable | None = None) -> Callable:
     """Build the jitted train step. ``state`` is donated (buffers update in
-    place in HBM); dropout keys are folded from the state PRNG + step so the
-    step stays a pure function of its inputs."""
+    place in HBM); dropout/augmentation keys are folded from the state PRNG +
+    step so the step stays a pure function of its inputs. When ``augment_fn``
+    is given, device-side augmentation runs INSIDE the compiled step — one
+    dispatch per step, raw pixels in, no host-side key management."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if augment_fn is not None:
+            aug_rng, step_rng = jax.random.split(step_rng)
+            images = augment_fn(aug_rng, images)
 
         def loss_fn(params):
-            logits = model.apply(
+            logits, mutated = model.apply(
                 {"params": params, "buffers": state.buffers},
                 images,
                 deterministic=False,
                 rngs={"dropout": step_rng},
+                mutable=["losses"],
             )
-            return cross_entropy_loss(logits, labels), logits
+            loss = cross_entropy_loss(logits, labels)
+            # auxiliary-loss extension hook: any module may
+            # ``self.sow("losses", "spectre_loss", value)`` and it is summed
+            # into the objective — the reference scanned modules for a
+            # ``spectre_loss`` attribute that none defined
+            # (vit_spectre_cifar100.py:291-295); here the hook is live.
+            aux = sum((jnp.sum(leaf) for leaf in
+                       jax.tree.leaves(mutated.get("losses", {}))), jnp.float32(0))
+            return loss + aux, (logits, aux)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (logits, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         new_state = state.apply_gradients(grads, state.rng)
-        metrics = {"loss": loss, "accuracy": _accuracy(logits, labels)}
+        metrics = {"loss": loss, "accuracy": _accuracy(logits, labels),
+                   "loss_aux": aux}
         return new_state, metrics
 
     return train_step
