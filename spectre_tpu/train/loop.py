@@ -9,6 +9,7 @@ perf metrics (steps/sec, images/sec/chip) the reference never measured.
 
 from __future__ import annotations
 
+import signal
 import time
 from dataclasses import dataclass
 from types import SimpleNamespace
@@ -133,6 +134,21 @@ def train_from_config(
     print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
           f"chips={n_chips} batch={batch_size} steps/epoch={steps_per_epoch}")
 
+    # preemption-aware save (SURVEY.md §5.3: the reference has no failure
+    # recovery): on SIGTERM/SIGINT finish the current step, checkpoint the
+    # full state, then stop — resume picks up exactly where training stopped.
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # not the main thread (tests)
+            pass
+
     best_val = -1.0
     last_val = -1.0
     total_steps = 0
@@ -160,7 +176,7 @@ def train_from_config(
                 m = jax.device_get(metrics)
                 writer.scalar("Loss/Train", m["loss"], total_steps)
                 writer.scalar("Accuracy/Train", m["accuracy"], total_steps)
-            if max_steps is not None and total_steps >= max_steps:
+            if preempted["flag"] or (max_steps is not None and total_steps >= max_steps):
                 done = True
                 break
 
@@ -202,8 +218,14 @@ def train_from_config(
         writer.scalar("Training time", elapsed, total_steps)  # train.py:292-295
         writer.close()
     if ckpt:
+        if preempted["flag"]:
+            ckpt.save(state, {"accuracy": last_val})
+            print(f"preempted at step {total_steps}: state checkpointed, "
+                  "resume with --resume")
         ckpt.wait()
         ckpt.close()
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     return TrainResult(
         state=state,
         best_val_accuracy=float(best_val),

@@ -100,7 +100,8 @@ def test_dropout_rng_changes_training_output(rng):
 
 
 @pytest.mark.parametrize(
-    "cfg", ["vit_mnist", "spectre_vit_mnist", "fnet_mnist", "spectre_branch"]
+    "cfg", ["vit_mnist", "spectre_vit_mnist", "fnet_mnist", "spectre_branch",
+            "vit_cifar100", "fnet_cifar100", "spectre_vit_cifar100", "dwt_cifar100"]
 )
 def test_build_model_from_config_forward(cfg, rng):
     c = parse_config(os.path.join(CFG_DIR, cfg + ".py"))
