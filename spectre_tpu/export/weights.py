@@ -28,14 +28,17 @@ _DTYPES = {0: np.float32, 1: np.int32}
 _CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1}
 
 
+def _key_name(k) -> str:
+    for attr in ("key", "idx", "name"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def _flatten(variables, prefix="") -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        name = ".".join(
-            getattr(k, "key", getattr(k, "idx", None)) if isinstance(getattr(k, "key", None), str)
-            else str(getattr(k, "key", getattr(k, "idx", k)))
-            for k in path
-        )
+        name = ".".join(_key_name(k) for k in path)
         arr = np.asarray(leaf)
         if arr.dtype == np.bool_:
             arr = arr.astype(np.int32)

@@ -4,5 +4,14 @@ from spectre_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from spectre_tpu.parallel.tp import (
+    SPECTRE_TP_RULES,
+    VIT_TP_RULES,
+    apply_tp,
+    tp_shardings,
+)
 
-__all__ = ["create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "VIT_TP_RULES", "SPECTRE_TP_RULES", "apply_tp", "tp_shardings",
+]

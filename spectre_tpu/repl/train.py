@@ -62,9 +62,6 @@ def main(argv=None):
             teacher_img_size=int(getattr(config, "teacher_img_size", 224)))
         print(f"distill done: step {int(state.step)} loss {metrics['loss']:.4f}")
         return state, metrics
-    if args.steps is not None and args.steps <= config.batch_size:
-        # smoke runs shouldn't spin full epochs of a big config
-        config.epochs = min(int(config.epochs), max(1, args.steps))
     result = train_from_config(
         config,
         max_steps=args.steps,

@@ -70,12 +70,11 @@ def train_from_config(
     """Train the configured model end-to-end. ``max_steps`` caps total steps
     (smoke mode); ``synthetic`` forces the hermetic synthetic dataset."""
     dataset = getattr(config, "dataset", "mnist")
-    data_dir = None if synthetic else getattr(config, "data_dir", None)
-    train_x, train_y = load_dataset(dataset, "train", data_dir=data_dir,
-                                    allow_synthetic=True) if not synthetic else \
-        load_dataset(dataset, "train", data_dir="/nonexistent", allow_synthetic=True)
-    val_x, val_y = load_dataset(dataset, "test", data_dir=data_dir if not synthetic else "/nonexistent",
-                                allow_synthetic=True)
+    # synthetic mode points the loader at a non-existent dir so the hermetic
+    # fallback always kicks in
+    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
+    train_x, train_y = load_dataset(dataset, "train", data_dir=data_dir)
+    val_x, val_y = load_dataset(dataset, "test", data_dir=data_dir)
 
     # the model's input size is a config knob (the reference resizes through
     # torchvision transforms, train.py:92-99); resize once on load if needed
