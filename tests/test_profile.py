@@ -52,3 +52,19 @@ def test_parser_filter_and_csv(traced_dir, tmp_path):
     out = tmp_path / "ops.csv"
     ProfilerParser(str(d)).filter_name(".*").to_csv(str(out))
     assert pd.read_csv(out).shape[0] > 0
+
+
+def test_model_summary():
+    import jax.numpy as jnp
+
+    from spectre_tpu.models import SpectreViT
+    from spectre_tpu.utils import format_summary, model_summary
+
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=1, num_classes=10,
+                       embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=32,
+                       dropout=0.0)
+    s = model_summary(model, jnp.zeros((2, 1, 8, 8)))
+    assert s["params"] > 1000
+    assert s["buffer_elems"] > 0
+    text = format_summary("tiny", s)
+    assert "params" in text
