@@ -15,7 +15,6 @@ anyway (PIL sampling differs); parity is defined at converged-accuracy level
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

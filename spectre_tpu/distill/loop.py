@@ -91,12 +91,13 @@ def distill_from_config(
             x = x.repeat(3, axis=1)
         return normalize(x, _TEACHER_MEAN, _TEACHER_STD)
 
+    @jax.jit
     def teacher_apply(images_teacher):
         return teacher.apply(teacher_variables, images_teacher)
 
     alpha = float(getattr(config, "distill_alpha", 0.25))
     step_fn = make_distill_step(
-        student, teacher_apply,
+        student,
         temperature=float(getattr(config, "distill_temperature", 2.0)),
         kd_weight=alpha, ce_weight=1.0 - alpha,
     )
@@ -122,8 +123,9 @@ def distill_from_config(
             raw = batch["image"]
             aug_key, k = jax.random.split(aug_key)
             img_student = augment(k, resize(raw))
-            img_teacher = teacher_view(raw)
-            state, metrics = step_fn(state, img_student, img_teacher, batch["label"])
+            teacher_logits = teacher_apply(teacher_view(raw))
+            state, metrics = step_fn(state, img_student, teacher_logits,
+                                     batch["label"])
             total_steps += 1
             if writer:
                 m = jax.device_get(metrics)

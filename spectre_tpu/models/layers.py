@@ -2,7 +2,8 @@
 (``/root/reference/spectre_vit/models/spectre/layers.py`` and
 ``modules/spectre.py``), rebuilt as linen modules over the ops layer.
 
-Numerics contracts (verified in tests/test_models_parity.py):
+Numerics contracts (verified in tests/test_models.py and
+tests/test_ops_linear_permute.py):
 - GELU is the exact erf form (torch ``nn.GELU()`` default).
 - LayerNorm eps = 1e-5 (torch default; reference spectre.py:46).
 - SpectreLinear = GELU(LN(Dense(x))) + adaptive-avg-pool residual
@@ -21,8 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from spectre_tpu.ops import (
-    adaptive_avg_pool1d,
-    gelu_exact,
     learnable_hadamard,
     make_mix_tables,
     make_structured_tables,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from spectre_tpu.models.mixers import AttentionMixer, make_mixer
 from spectre_tpu.models.patch_embed import PatchEmbedding
-from spectre_tpu.ops import adaptive_avg_pool1d, dft_matrices, gelu_exact
+from spectre_tpu.ops import adaptive_avg_pool1d, dft_matrices
 
 Dtype = Any
 

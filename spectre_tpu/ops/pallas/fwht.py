@@ -62,7 +62,11 @@ def _forward(x, normalize, interpret):
     # unnormalized H_L; overall 1/sqrt(n) applied once at the end if requested
     h_l = hadamard_matrix(l, x.dtype, normalize=False)
     scale = float(n) ** -0.5 if normalize else 1.0
-    tile_m = min(_TILE_M, max(8, m))
+    # VMEM budget: the kernel holds ~4 tile-sized f32 temporaries (input,
+    # matmul result, butterfly halves); keep the tile under ~2 MB so the
+    # whole working set stays inside the 16 MB scoped-vmem limit
+    budget_rows = max(8, (2 * 1024 * 1024) // (n * 4))
+    tile_m = min(_TILE_M, budget_rows, max(8, m))
 
     out = pl.pallas_call(
         functools.partial(_kernel, r=r, l=l, scale=scale),

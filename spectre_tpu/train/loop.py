@@ -30,7 +30,13 @@ from spectre_tpu.data import (
     prefetch_to_mesh,
 )
 from spectre_tpu.models import build_model, example_input
-from spectre_tpu.parallel import create_mesh, replicated_sharding
+from spectre_tpu.parallel import (
+    SPECTRE_TP_RULES,
+    VIT_TP_RULES,
+    apply_tp,
+    create_mesh,
+    replicated_sharding,
+)
 from spectre_tpu.train.checkpoint import CheckpointManager
 from spectre_tpu.train.optim import make_optimizer
 from spectre_tpu.train.state import create_train_state, param_count
@@ -89,7 +95,8 @@ def train_from_config(
 
         train_x, val_x = _resize(train_x), _resize(val_x)
 
-    mesh = create_mesh()
+    model_parallel = int(getattr(config, "model_parallel", 1))
+    mesh = create_mesh(model_parallel=model_parallel)
     n_chips = int(np.prod(mesh.devices.shape))
     batch_size = int(config.batch_size)
     # static per-step shapes: batch must divide over the data axis
@@ -104,8 +111,14 @@ def train_from_config(
         model, tx, example_input(config, batch_size=batch_size),
         seed=getattr(config, "random_seed", 42),
     )
-    # replicate params/opt over the mesh; batches arrive data-sharded
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if model_parallel > 1:
+        # tensor parallelism: GSPMD sharding rules by model family
+        rules = VIT_TP_RULES if getattr(config, "model", "") == "vit" \
+            else SPECTRE_TP_RULES
+        state = apply_tp(state, mesh, rules)
+    else:
+        # replicate params/opt over the mesh; batches arrive data-sharded
+        state = jax.device_put(state, replicated_sharding(mesh))
     n_params = param_count(state.params)
 
     mean, std = _dataset_stats(dataset)

@@ -125,27 +125,28 @@ def make_eval_step(model) -> Callable:
 
 def make_distill_step(
     student,
-    teacher_apply: Callable,
     temperature: float = 2.0,
     kd_weight: float = 0.25,
     ce_weight: float = 0.75,
 ) -> Callable:
-    """Distillation train step (train.py:320-353 semantics, one compiled fn).
+    """Distillation train step (train.py:320-353 semantics).
 
-    ``teacher_apply(images_teacher) -> logits`` closes over the frozen teacher
-    params; running it inside the same jit keeps teacher+student on-chip with
-    one fused program (teacher gradient is severed with stop_gradient).
+    Takes the frozen teacher's logits as an input: the teacher forward runs
+    in its own jitted program (distill/loop.py), which keeps the two
+    compilations small and lets the teacher program be reused unchanged —
+    both still execute back-to-back on the same chips with no host sync
+    between them (dispatch is async).
     """
 
     @partial(jax.jit, donate_argnums=(0,))
     def distill_step(
         state: TrainState,
         images_student: jnp.ndarray,
-        images_teacher: jnp.ndarray,
+        teacher_logits: jnp.ndarray,
         labels: jnp.ndarray,
     ):
         step_rng = jax.random.fold_in(state.rng, state.step)
-        teacher_logits = jax.lax.stop_gradient(teacher_apply(images_teacher))
+        teacher_logits = jax.lax.stop_gradient(teacher_logits)
 
         def loss_fn(params):
             logits = student.apply(

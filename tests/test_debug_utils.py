@@ -1,0 +1,50 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectre_tpu.utils import check_finite, deterministic_mode, enable_nan_checks
+
+
+def test_nan_checks_toggle():
+    enable_nan_checks(True)
+    with pytest.raises(FloatingPointError):
+        jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+    enable_nan_checks(False)
+    out = jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0))
+    assert np.isnan(np.asarray(out))
+
+
+def test_deterministic_mode_pins_precision():
+    deterministic_mode(True)
+    assert jax.config.jax_default_matmul_precision == "highest"
+    deterministic_mode(False)
+
+
+def test_check_finite_runs_inside_jit(capfd):
+    @jax.jit
+    def f(x):
+        check_finite({"x": x}, "batch")
+        return x * 2
+
+    f(jnp.ones(4)).block_until_ready()
+
+
+def test_train_loop_model_parallel_smoke(tmp_path):
+    """model_parallel=2 over the 8-device CPU mesh trains end to end."""
+    from types import SimpleNamespace
+
+    from spectre_tpu.train.loop import train_from_config
+
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=1, num_classes=10,
+        embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=32,
+        dropout=0.0, batch_size=8, val_batch_size=64, epochs=1,
+        learning_rate=1e-3, random_seed=0,
+        compute_dtype="float32", param_dtype="float32",
+        checkpoint_dir=str(tmp_path), model_parallel=2,
+    )
+    result = train_from_config(cfg, max_steps=2, synthetic=True,
+                               checkpoint=False, write_metrics=False)
+    assert int(result.state.step) == 2

@@ -132,13 +132,11 @@ def test_eval_step_padding_exact():
 def test_distill_step_runs_and_updates():
     cfg = tiny_config()
     model, state, batch = _state_and_batch(cfg)
-
-    def fake_teacher(images):  # frozen teacher stand-in
-        return jnp.tile(jnp.arange(10, dtype=jnp.float32), (images.shape[0], 1))
-
-    step = make_distill_step(model, fake_teacher)
+    teacher_logits = jnp.tile(jnp.arange(10, dtype=jnp.float32),
+                              (cfg.batch_size, 1))
+    step = make_distill_step(model)
     p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
-    state, metrics = step(state, batch["image"], batch["image"], batch["label"])
+    state, metrics = step(state, batch["image"], teacher_logits, batch["label"])
     assert set(metrics) >= {"loss", "accuracy", "loss_dist", "loss_ce"}
     assert np.isfinite(float(metrics["loss"]))
     assert not np.allclose(p0, np.asarray(jax.tree.leaves(state.params)[0]))
