@@ -27,12 +27,28 @@ MNIST_STD = (0.3081,)
 
 
 def _load_cifar100(data_dir: str, split: str):
-    path = os.path.join(data_dir, "cifar-100-python", "train" if split == "train" else "test")
-    with open(path, "rb") as f:
-        d = pickle.load(f, encoding="bytes")
-    images = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
-    labels = np.asarray(d[b"fine_labels"], dtype=np.int32)
-    return images, labels
+    name = "train" if split == "train" else "test"
+    pickle_path = os.path.join(data_dir, "cifar-100-python", name)
+    binary_path = os.path.join(data_dir, "cifar-100-binary", f"{name}.bin")
+    if os.path.exists(pickle_path):
+        with open(pickle_path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        images = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        labels = np.asarray(d[b"fine_labels"], dtype=np.int32)
+        return images, labels
+    if os.path.exists(binary_path):
+        try:  # threaded native decode when built (make -C native)
+            from spectre_tpu.data import native_loader
+
+            if native_loader.available():
+                return native_loader.load_cifar100_bin(binary_path)
+        except Exception:
+            pass
+        raw = np.fromfile(binary_path, np.uint8).reshape(-1, 2 + 3072)
+        labels = raw[:, 1].astype(np.int32)  # fine label
+        images = raw[:, 2:].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        return images, labels
+    raise FileNotFoundError(pickle_path)
 
 
 def _load_mnist_idx(data_dir: str, split: str):

@@ -139,3 +139,21 @@ def test_resize_bilinear_teacher_path(rng):
     x = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 32)).astype(np.float32))
     out = resize_bilinear(x, 224)
     assert out.shape == (2, 3, 224, 224)
+
+
+def test_cifar100_binary_format_loader(tmp_path):
+    """Python fallback decode of the cifar-100-binary format (the native C++
+    decoder covers the same format; tests/test_native.py)."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "cifar-100-binary"
+    d.mkdir()
+    recs, labels = [], []
+    for i in range(6):
+        fine = (7 * i) % 100
+        px = rng.integers(0, 256, 3072, dtype=np.uint8)
+        recs.append(bytes([i % 20, fine]) + px.tobytes())
+        labels.append(fine)
+    (d / "train.bin").write_bytes(b"".join(recs))
+    x, y = load_dataset("cifar100", "train", data_dir=str(tmp_path))
+    assert x.shape == (6, 3, 32, 32)
+    np.testing.assert_array_equal(y, np.asarray(labels, np.int32))
