@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
 
+    from spectre_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = apply_overrides(parse_config(args.config), args.set)
     state, metrics = distill_from_config(
         config, max_steps=args.steps, synthetic=args.synthetic,

@@ -69,6 +69,10 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
+
+    from spectre_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = apply_overrides(parse_config(args.config), args.set)
     return evaluate(config, args.checkpoint, args.best, args.synthetic)
 

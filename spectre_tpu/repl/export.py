@@ -88,6 +88,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
+
+    from spectre_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = apply_overrides(parse_config(args.config), args.set)
     return export_from_config(config, args.checkpoint, args.outdir, args.batch)
 

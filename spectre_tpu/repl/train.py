@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--set", nargs="*", default=[], help="config overrides key=value")
     args = p.parse_args(argv)
 
+    from spectre_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.multihost:
         import jax
 
