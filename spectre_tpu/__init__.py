@@ -22,3 +22,14 @@ Layering (bottom-up, mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache, on by default: cold compiles through a
+# remote-compile TPU runtime take minutes, and every python process starts
+# cold without it. Opt out with SPECTRE_NO_COMPILE_CACHE=1.
+try:  # pragma: no cover - trivial plumbing
+    from spectre_tpu.utils.cache import enable_compilation_cache as _ecc
+
+    _ecc()
+    del _ecc
+except Exception:  # never block import on cache setup
+    pass
