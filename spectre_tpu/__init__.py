@@ -16,7 +16,7 @@ Layering (bottom-up, mirrors SURVEY.md §1):
 - ``spectre_tpu.parallel``  jax.sharding Mesh helpers, data-parallel pjit plumbing
 - ``spectre_tpu.train``     train state / steps / loops, optax + orbax
 - ``spectre_tpu.distill``   teacher models + KD losses
-- ``spectre_tpu.profiling`` jax.profiler harnesses + chainable trace report API
+- ``spectre_tpu.profile``   jax.profiler harnesses + chainable trace report API
 - ``spectre_tpu.export``    StableHLO export + parity checking
 - ``spectre_tpu.repl``      experiment entry-point scripts (the reference's repl/ surface)
 """
