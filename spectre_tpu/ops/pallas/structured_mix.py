@@ -47,6 +47,13 @@ def _forward(x, tile_perms, signs, token_dim, interpret):
     d = x2.shape[-1]
     H, n_tiles = tile_perms.shape
     t = d // n_tiles
+    if not interpret and (t % 128 or B % 8):
+        # Mosaic block rule: last two block dims must be (8, 128)-aligned.
+        # Sub-tile shapes (small models/studies) take the jnp reference —
+        # identical math, and XLA handles small shapes fine anyway.
+        from spectre_tpu.ops.permute import structured_mix
+
+        return structured_mix(x, tile_perms, signs, token_dim)
     had = hadamard_matrix(t, x.dtype)
 
     tile_b = min(_TILE_B, max(8, B))
