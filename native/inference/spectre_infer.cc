@@ -17,6 +17,8 @@
 //   spectre_infer --weights model.stw --meta meta.txt --input x.f32 \
 //                 --batch 2 [--out logits.f32]
 
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -25,6 +27,7 @@
 #include <map>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -317,6 +320,16 @@ int main(int argc, char** argv) {
   }
   Weights w = load_stw(args["--weights"]);
   auto meta = load_meta(args["--meta"]);
+  if (meta.count("model") && meta["model"] != "spectre_vit") {
+    std::cerr << "spectre_infer implements model=spectre_vit; got "
+              << meta["model"] << "\n";
+    return 2;
+  }
+  if (meta.count("method") && meta["method"] != "permut_mix") {
+    std::cerr << "spectre_infer implements method=permut_mix "
+                 "(gather|structured); got " << meta["method"] << "\n";
+    return 2;
+  }
   Config c{std::stoi(meta["img_size"]), std::stoi(meta["patch_size"]),
            std::stoi(meta["in_channels"]), std::stoi(meta["num_classes"]),
            std::stoi(meta["embed_dim"]), std::stoi(meta["num_encoders"]),
@@ -330,10 +343,36 @@ int main(int argc, char** argv) {
   std::vector<float> input(img_elems * batch);
   in.read(reinterpret_cast<char*>(input.data()), sizeof(float) * input.size());
 
+  // batch-parallel forward: one thread per sample (the runner is a host
+  // CPU engine; samples are independent)
+  std::vector<std::vector<float>> per_sample(batch);
+  auto run_all = [&]() {
+    std::vector<std::thread> pool;
+    unsigned hw = std::thread::hardware_concurrency();
+    int workers = std::min<int>(batch, hw ? (int)hw : 2);
+    std::atomic<int> next{0};
+    for (int t = 0; t < workers; ++t)
+      pool.emplace_back([&]() {
+        for (int b = next.fetch_add(1); b < batch; b = next.fetch_add(1))
+          forward(w, c, input.data() + img_elems * b, per_sample[b]);
+      });
+    for (auto& th : pool) th.join();
+  };
+  run_all();
+
+  if (args.count("--repeat")) {  // latency bench mode
+    const int reps = std::stoi(args["--repeat"]);
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r) run_all();
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0).count() / reps;
+    std::cout << "batch=" << batch << " " << ms << " ms/batch ("
+              << batch / ms * 1000.0 << " img/s)\n";
+  }
+
   std::vector<float> all_logits;
   for (int b = 0; b < batch; ++b) {
-    std::vector<float> logits;
-    forward(w, c, input.data() + img_elems * b, logits);
+    const auto& logits = per_sample[b];
     int best = 0;
     for (size_t k = 1; k < logits.size(); ++k)
       if (logits[k] > logits[best]) best = (int)k;
