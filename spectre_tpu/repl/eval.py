@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from spectre_tpu.configs import parse_config
-from spectre_tpu.data import BatchIterator, load_dataset, make_eval_transform
+from spectre_tpu.data import BatchIterator, make_eval_transform
 from spectre_tpu.models import build_model, example_input
 from spectre_tpu.repl.train import apply_overrides
 from spectre_tpu.train.checkpoint import CheckpointManager
@@ -26,9 +26,10 @@ from spectre_tpu.train.step import make_eval_step
 
 def evaluate(config, checkpoint: str | None = None, best: bool = False,
              synthetic: bool = False):
+    from spectre_tpu.train.loop import load_sized_dataset
+
     dataset = getattr(config, "dataset", "mnist")
-    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
-    val_x, val_y = load_dataset(dataset, "test", data_dir=data_dir)
+    val_x, val_y = load_sized_dataset(config, "test", synthetic)
 
     model = build_model(config)
     tx = make_optimizer(config, steps_per_epoch=1)

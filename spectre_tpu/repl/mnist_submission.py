@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from spectre_tpu.configs import parse_config
-from spectre_tpu.data import BatchIterator, load_dataset, make_eval_transform
+from spectre_tpu.data import BatchIterator, make_eval_transform
 from spectre_tpu.data.datasets import MNIST_MEAN, MNIST_STD
 from spectre_tpu.models import build_model
 from spectre_tpu.repl.train import apply_overrides
@@ -42,8 +42,9 @@ def main(argv=None):
     model = build_model(config)
 
     # submission split: Kaggle test.csv when present, synthetic otherwise
-    test_x, _ = load_dataset("mnist", "test",
-                             data_dir=None if args.synthetic else config.data_dir)
+    from spectre_tpu.train.loop import load_sized_dataset
+
+    test_x, _ = load_sized_dataset(config, "test", synthetic=args.synthetic)
     transform = make_eval_transform(MNIST_MEAN, MNIST_STD)
 
     @jax.jit

@@ -63,6 +63,28 @@ def _dataset_stats(name: str):
     return _STATS.get(name, ((0.5,), (0.5,)))
 
 
+def _resize_to(img_size: int, *arrays):
+    """Resize NCHW arrays to the model's input size (the reference resizes
+    through torchvision transforms, train.py:92-99). No-op when they match."""
+    out = []
+    for a in arrays:
+        if a.shape[-1] != img_size or a.shape[-2] != img_size:
+            a = np.asarray(jax.jit(
+                lambda v: jax.image.resize(
+                    v, (v.shape[0], v.shape[1], img_size, img_size),
+                    method="bilinear"))(a))
+        out.append(a)
+    return out if len(out) > 1 else out[0]
+
+
+def load_sized_dataset(config, split: str, synthetic: bool = False):
+    """Dataset loading + model-input-size resize, shared by train/eval/export."""
+    dataset = getattr(config, "dataset", "mnist")
+    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
+    x, y = load_dataset(dataset, split, data_dir=data_dir)
+    return _resize_to(int(config.img_size), x), y
+
+
 def train_from_config(
     config: SimpleNamespace,
     *,
@@ -76,24 +98,8 @@ def train_from_config(
     """Train the configured model end-to-end. ``max_steps`` caps total steps
     (smoke mode); ``synthetic`` forces the hermetic synthetic dataset."""
     dataset = getattr(config, "dataset", "mnist")
-    # synthetic mode points the loader at a non-existent dir so the hermetic
-    # fallback always kicks in
-    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
-    train_x, train_y = load_dataset(dataset, "train", data_dir=data_dir)
-    val_x, val_y = load_dataset(dataset, "test", data_dir=data_dir)
-
-    # the model's input size is a config knob (the reference resizes through
-    # torchvision transforms, train.py:92-99); resize once on load if needed
-    img_size = int(config.img_size)
-    if train_x.shape[-1] != img_size or train_x.shape[-2] != img_size:
-        import jax.image as jimg
-
-        def _resize(a):
-            return np.asarray(jax.jit(
-                lambda v: jimg.resize(v, (a.shape[0], a.shape[1], img_size, img_size),
-                                      method="bilinear"))(a))
-
-        train_x, val_x = _resize(train_x), _resize(val_x)
+    train_x, train_y = load_sized_dataset(config, "train", synthetic)
+    val_x, val_y = load_sized_dataset(config, "test", synthetic)
 
     model_parallel = int(getattr(config, "model_parallel", 1))
     mesh = create_mesh(model_parallel=model_parallel)
