@@ -91,46 +91,61 @@ def color_jitter(
     return jnp.clip(x, 0.0, 1.0)
 
 
-def _rotate_bilinear(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotate one [C, H, W] image by ``angle`` (radians) about its center with
-    bilinear sampling and zero padding. Static shapes; gathers are small."""
+def _src_coords(img: jnp.ndarray, angle: jnp.ndarray):
+    """Inverse-map source coordinates for rotating [C, H, W] about center."""
     C, H, W = img.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     ys = jnp.arange(H, dtype=img.dtype)[:, None] - cy
     xs = jnp.arange(W, dtype=img.dtype)[None, :] - cx
     cos, sin = jnp.cos(angle), jnp.sin(angle)
-    # inverse map: output (y, x) samples input (y', x')
-    src_y = cos * ys + sin * xs + cy
-    src_x = -sin * ys + cos * xs + cx
+    return cos * ys + sin * xs + cy, -sin * ys + cos * xs + cx
+
+
+def _gather_px(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape[1:]
+    valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+    xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+    return jnp.where(valid[None], img[:, yc, xc], 0.0)
+
+
+def _rotate_nearest(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor rotation, zero fill — torchvision ``RandomAffine``'s
+    DEFAULT interpolation (reference train.py:106 uses the default). One
+    gather per image instead of bilinear's four (the augment gathers were
+    11% of the r2-start train step — benchmarks/v5e_train_step_ops_r2start.csv)."""
+    src_y, src_x = _src_coords(img, angle)
+    return _gather_px(img, jnp.round(src_y), jnp.round(src_x))
+
+
+def _rotate_bilinear(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotate one [C, H, W] image by ``angle`` (radians) about its center with
+    bilinear sampling and zero padding. Static shapes; gathers are small."""
+    src_y, src_x = _src_coords(img, angle)
     y0 = jnp.floor(src_y)
     x0 = jnp.floor(src_x)
     wy = src_y - y0
     wx = src_x - x0
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        vals = img[:, yc, xc]  # [C, H, W]
-        return jnp.where(valid[None], vals, 0.0)
-
     out = (
-        gather(y0, x0) * (1 - wy) * (1 - wx)
-        + gather(y0, x0 + 1) * (1 - wy) * wx
-        + gather(y0 + 1, x0) * wy * (1 - wx)
-        + gather(y0 + 1, x0 + 1) * wy * wx
+        _gather_px(img, y0, x0) * (1 - wy) * (1 - wx)
+        + _gather_px(img, y0, x0 + 1) * (1 - wy) * wx
+        + _gather_px(img, y0 + 1, x0) * wy * (1 - wx)
+        + _gather_px(img, y0 + 1, x0 + 1) * wy * wx
     )
     return out
 
 
-def random_rotate(key: jax.Array, x: jnp.ndarray, degrees: float = 30.0) -> jnp.ndarray:
+def random_rotate(key: jax.Array, x: jnp.ndarray, degrees: float = 30.0,
+                  interpolation: str = "nearest") -> jnp.ndarray:
     """RandomAffine(degrees) / RandomRotation equivalent: per-sample uniform
-    rotation in [-degrees, degrees], bilinear, zero fill."""
+    rotation in [-degrees, degrees], zero fill. ``interpolation``:
+    "nearest" (torchvision default, 4x fewer gathers) or "bilinear"."""
     B = x.shape[0]
     angles = jax.random.uniform(
         key, (B,), minval=-degrees, maxval=degrees
     ) * (jnp.pi / 180.0)
-    return jax.vmap(_rotate_bilinear)(x, angles.astype(x.dtype))
+    fn = _rotate_nearest if interpolation == "nearest" else _rotate_bilinear
+    return jax.vmap(fn)(x, angles.astype(x.dtype))
 
 
 def gaussian_blur(
@@ -191,12 +206,14 @@ def random_erasing(
 
 def make_train_augment(
     mean: Sequence[float], std: Sequence[float], *,
-    hflip: bool = True, jitter: bool = True, grayscale_p: float = 0.1,
-    degrees: float = 30.0, blur: bool = True, erasing_p: float = 0.5,
+    hflip: bool = True, jitter: bool = True, grayscale_p: float = 0.2,
+    degrees: float = 30.0, blur_p: float = 0.5, erasing_p: float = 0.5,
 ):
     """Compose the CIFAR-100 training pipeline (train.py:102-114) as one
     jittable (key, batch) -> batch function. Each knob maps 1:1 to a
-    torchvision transform in the reference."""
+    torchvision transform in the reference: ColorJitter(0.4,0.4,0.4,0.1),
+    RandomGrayscale(p=0.2), RandomAffine(30) (nearest — torchvision default),
+    RandomApply([GaussianBlur(3)]) (p=0.5)."""
 
     @jax.jit
     def augment(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,13 +221,13 @@ def make_train_augment(
         if hflip:
             x = random_hflip(keys[0], x)
         if jitter:
-            x = color_jitter(keys[1], x)
+            x = color_jitter(keys[1], x, 0.4, 0.4, 0.4, 0.1)
         if grayscale_p > 0:
             x = random_grayscale(keys[2], x, grayscale_p)
         if degrees > 0:
             x = random_rotate(keys[3], x, degrees)
-        if blur:
-            x = gaussian_blur(keys[4], x)
+        if blur_p > 0:
+            x = gaussian_blur(keys[4], x, p=blur_p)
         x = normalize(x, mean, std)
         if erasing_p > 0:
             x = random_erasing(keys[5], x, erasing_p)

@@ -1,0 +1,60 @@
+"""Custom-VJP permut-mix: inverse-permutation backward instead of scatter.
+
+The reference hot op (layers.py:68-73) gathers the flattened sequence with
+per-head permutations. Left to autodiff, the gather's cotangent lowers to a
+**scatter-add** over d = N*E elements — measured at 20 ms/layer (26% of the
+whole flagship train step at B=1024, benchmarks/v5e_train_step_ops_r2start.csv).
+
+The scatter is unnecessary: each ``perms[h]`` is a bijection, so the
+cotangent of ``m[b,h,i] = x[b, perms[h,i]] * s[h,i]`` is itself a gather by
+the inverse permutation,
+
+    dx[b,j] = sum_h (g*s)[b,h,inv[h,j]],  where perms[h, inv[h,j]] = j.
+
+The inverses are derived in the backward via argsort (argsort of a
+permutation inverts it exactly, O(H d log d) — negligible next to the 80 ms
+of scatters it replaces); buffers, checkpoints and the native-runner export
+format stay identical to the unfused path.
+
+Design note (what NOT to do, measured): fusing the projection GEMM + pool
+residual into the same custom op and recomputing the mixed tensor in the
+backward fails to compile at flagship scale — any materialization of the
+[.., out, g=16] grouped view pads the 16-wide minor dim to the 128-lane
+tile, a 17 GB allocation. The GEMM/LN/pool stay in XLA-land where its
+fusion heuristics already handle them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.custom_vjp
+def permut_mix_fused(x2d: jnp.ndarray, perms: jnp.ndarray,
+                     signs2: jnp.ndarray) -> jnp.ndarray:
+    """Exact reference mix semantics: [B, d] -> [B, H, d].
+
+    x2d: [B, d]; perms: [H, d] int32 (each row a permutation of range(d));
+    signs2: [H, d] +-1.
+    """
+    return jnp.take(x2d, perms, axis=1) * signs2
+
+
+def _fwd(x2d, perms, signs2):
+    # the op is linear: nothing activation-sized is saved
+    return permut_mix_fused(x2d, perms, signs2), (perms, signs2)
+
+
+def _bwd(res, g):
+    perms, signs2 = res
+    gs = g * signs2  # [B, H, d]
+    inv = jnp.argsort(perms, axis=-1)  # inverse permutations
+    dx = jnp.take_along_axis(gs, inv[None], axis=2).sum(axis=1)  # [B, d]
+    return (dx,
+            np.zeros(perms.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(signs2))
+
+
+permut_mix_fused.defvjp(_fwd, _bwd)
