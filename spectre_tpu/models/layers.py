@@ -15,6 +15,7 @@ tests/test_ops_linear_permute.py):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import flax.linen as nn
@@ -95,6 +96,9 @@ class FusedMixLinear(nn.Module):
         beta = self.param("ln_bias", nn.initializers.zeros, (self.features,), self.param_dtype)
         x2d = x2d.astype(self.dtype)
         signs2 = (signs[0] if signs.ndim == 3 else signs).astype(self.dtype)
+        # note: rematerializing the mix (jax.checkpoint over mix+linear,
+        # dots-saveable policy) was tried and MEASURED SLOWER (283.9 vs
+        # 258.8 ms/step) — XLA's saved-residual schedule wins here
         mixed = permut_mix_fused(x2d, perms, signs2)
         mixed = mixed.reshape(x2d.shape[0], self.token_dim, -1)
         return spectre_linear_apply(
