@@ -26,9 +26,15 @@ from spectre_tpu.models.spectre_branch import (
     SpectreBranchEncoderLayer,
     SpectreFeatExtractor,
 )
+from spectre_tpu.models.torch_import import (
+    import_spectre_branch,
+    import_spectre_vit,
+    import_vit,
+)
 from spectre_tpu.models.vit import TransformerEncoderLayer, ViT
 
 __all__ = [
+    "import_spectre_branch", "import_spectre_vit", "import_vit",
     "BinaryLinear", "FFTApproximator", "FFTLayer", "LearnableHadamard",
     "LearnedSigmoid", "MHPermutMix", "NormalMask", "SignPermuteMix", "SpectreLinear",
     "MIXERS", "AttentionMixer", "DWTMixer", "FNetMixer", "MHFFTMixer", "make_mixer",

@@ -1,0 +1,174 @@
+"""Full-model logits parity against the ACTUAL reference implementation.
+
+Imports ``/root/reference/spectre_vit`` (torch CPU), builds the real
+``SpectreViT`` / ``ViT`` / ``SpectreBranch``, transfers the state_dicts into
+the flax models via ``spectre_tpu.models.torch_import``, and asserts
+end-to-end logits parity. Unlike tests/test_torch_parity.py (which rebuilds
+torch formulations from documented semantics), the oracle here is the
+reference code itself — composition order, dtype promotion and the odd
+residual topology are all on trial.
+
+Reference entry points on trial:
+- SpectreViT forward: /root/reference/spectre_vit/models/spectre/spectre.py:159-202
+- MHPermutMix/SpectreLinear: .../spectre/layers.py:53-101
+- ViT forward: .../vit/vit.py:7-51 (with its batch-first-into-seq-first
+  defect reproduced by an explicit transpose shim — see test)
+- SpectreBranch forward: .../spectre_branch/spectre_branch.py:176-225
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE_ROOT = "/root/reference"
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
+
+from spectre_tpu.models import (  # noqa: E402
+    PatchEmbedding,
+    SpectreBranch,
+    SpectreViT,
+    TransformerEncoderLayer,
+    ViT,
+    import_spectre_branch,
+    import_spectre_vit,
+    import_vit,
+)
+
+
+def _sd_numpy(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def torch_seed():
+    torch.manual_seed(1234)
+
+
+def test_spectre_vit_logits_match_reference(torch_seed):
+    from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
+
+    kw = dict(img_size=16, patch_size=4, in_channels=3, num_classes=11,
+              embed_dim=24, num_encoders=3, num_heads=4, hidden_dim=40,
+              dropout=0.0, activation="gelu")
+    ref = RefSpectreViT(**kw).eval()
+
+    x_np = np.random.default_rng(0).uniform(-1, 1, (5, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x_np), return_features=True)
+
+    kw.pop("activation")
+    model = SpectreViT(**kw, method="permut_mix", mix_impl="gather")
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np))
+    variables = import_spectre_vit(variables, _sd_numpy(ref), kw["num_encoders"])
+
+    logits, feats = model.apply(variables, jnp.asarray(x_np), return_features=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(), atol=1e-4)
+
+    logits_only = model.apply(variables, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(logits_only), ref_logits.numpy(), atol=1e-4)
+
+
+def test_spectre_vit_fused_false_matches_reference_too(torch_seed):
+    """The unfused (plain autodiff) path sees the same transferred weights."""
+    from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
+
+    kw = dict(img_size=8, patch_size=4, in_channels=3, num_classes=7,
+              embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=24,
+              dropout=0.0, activation="gelu")
+    ref = RefSpectreViT(**kw).eval()
+    x_np = np.random.default_rng(3).uniform(-1, 1, (2, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))
+
+    kw.pop("activation")
+    model = SpectreViT(**kw, method="permut_mix", mix_impl="gather")
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np))
+    variables = import_spectre_vit(variables, _sd_numpy(ref), kw["num_encoders"])
+    logits = model.apply(variables, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=1e-4)
+
+
+def test_vit_logits_match_reference_with_its_seqfirst_defect(torch_seed):
+    """The reference ViT feeds batch-first [B, N, E] tensors into a
+    seq-first torch TransformerEncoder (vit.py:30-38), silently attending
+    ACROSS THE BATCH. The product model fixes that (models/vit.py docstring);
+    parity against the reference is still proven here by transposing around
+    each encoder layer so our token axis lines up with torch's seq axis."""
+    from spectre_vit.models.vit.vit import ViT as RefViT
+
+    kw = dict(img_size=16, patch_size=4, in_channels=3, num_classes=9,
+              embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=32,
+              dropout=0.0, activation="gelu")
+    ref = RefViT(**kw).eval()
+    x_np = np.random.default_rng(1).uniform(-1, 1, (6, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x_np), return_features=True)
+
+    kw.pop("activation")
+    model = ViT(**kw)
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np))
+    variables = import_vit(variables, _sd_numpy(ref), kw["num_encoders"],
+                           kw["num_heads"])
+    params = variables["params"]
+
+    # manual composition with the transpose shim reproducing the defect
+    num_patches = (kw["img_size"] // kw["patch_size"]) ** 2
+    embed = PatchEmbedding(embed_dim=kw["embed_dim"], patch_size=kw["patch_size"],
+                           num_patches=num_patches, dropout=0.0)
+    h = embed.apply({"params": params["embeddings_block"]}, jnp.asarray(x_np))
+    h = jnp.swapaxes(h, 0, 1)  # [N+1, B, E]: torch's (seq, batch) view
+    for i in range(kw["num_encoders"]):
+        layer = TransformerEncoderLayer(d_model=kw["embed_dim"],
+                                        nhead=kw["num_heads"],
+                                        dim_feedforward=kw["hidden_dim"],
+                                        dropout=0.0)
+        h = layer.apply({"params": params[f"encoder_{i}"]}, h)
+    h = jnp.swapaxes(h, 0, 1)
+    cls = h[:, 0, :]
+    logits = cls @ params["mlp_head"]["kernel"] + params["mlp_head"]["bias"]
+
+    np.testing.assert_allclose(np.asarray(cls), ref_feats.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+    # the PRODUCT model (defect fixed: attention over tokens) runs with the
+    # same transferred weights — shape/tree compatibility
+    fixed = model.apply(variables, jnp.asarray(x_np))
+    assert fixed.shape == (6, kw["num_classes"])
+    assert np.isfinite(np.asarray(fixed)).all()
+
+
+def test_spectre_branch_logits_match_reference(torch_seed):
+    """SpectreBranch requires embed_dim=768 in the reference (hard-coded
+    fusion width, spectre_branch.py:105); method='none' reproduces the
+    degenerate FF-only encoder layer (mix commented out, :76-82)."""
+    from spectre_vit.models.spectre_branch.spectre_branch import (
+        SpectreBranch as RefSpectreBranch,
+    )
+
+    kw = dict(img_size=16, patch_size=8, in_channels=3, num_classes=5,
+              embed_dim=768, num_encoders=2, num_heads=2, hidden_dim=32,
+              dropout=0.0, activation="gelu")
+    ref = RefSpectreBranch(**kw).eval()
+    x_np = np.random.default_rng(2).uniform(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x_np), return_features=True)
+
+    kw.pop("activation")
+    model = SpectreBranch(**kw, method="none")
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np))
+    variables = import_spectre_branch(variables, _sd_numpy(ref),
+                                      kw["num_encoders"])
+    logits, feats = model.apply(variables, jnp.asarray(x_np), return_features=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(),
+                               atol=2e-4, rtol=1e-4)
