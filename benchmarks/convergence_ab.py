@@ -1,0 +1,143 @@
+"""Convergence A/B: the reference torch recipe vs the spectre_tpu trainer
+on an IDENTICAL synthetic dataset.
+
+No real datasets exist in this environment (zero egress), so trained-accuracy
+parity is demonstrated on synthetic data: per-class fixed random template +
+Gaussian noise, the same numpy arrays fed to both stacks, >=1 seeds each.
+
+Side A — the reference recipe (train.py:194-243 semantics on CPU): the
+actual ``SpectreViT`` imported from /root/reference, eager fp32 (AMP is the
+CUDA path; GradScaler is a no-op on CPU), CE loss, AdamW(betas, lr, wd),
+CosineAnnealingLR over total steps, argmax accuracy.
+
+Side B — spectre_tpu: flax SpectreViT, the jitted train step
+(train/step.py), optax AdamW + cosine (train/optim.py), same batch order
+(identical permutation per epoch derived from the same numpy seed).
+
+Output: one JSON line per (stack, seed) + a summary; the committed results
+table lives in BASELINE.md. The slow-marked CI version is
+tests/test_convergence_ab.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+MODEL_KW = dict(img_size=16, patch_size=4, in_channels=3, num_classes=8,
+                embed_dim=32, num_encoders=2, num_heads=4, hidden_dim=48,
+                dropout=0.0)
+LR, WD, BETAS = 1e-3, 0.01, (0.9, 0.999)
+
+
+def make_dataset(seed: int, n_train=1024, n_val=512, noise=3.5):
+    """Per-class fixed random template + Gaussian noise — learnable but not
+    saturating, so converged accuracy is a meaningful comparison point."""
+    rng = np.random.default_rng(1000 + seed)
+    k = MODEL_KW["num_classes"]
+    shape = (MODEL_KW["in_channels"], MODEL_KW["img_size"], MODEL_KW["img_size"])
+    templates = rng.standard_normal((k, *shape)).astype(np.float32)
+
+    def split(n):
+        y = rng.integers(0, k, n).astype(np.int64)
+        x = templates[y] + noise * rng.standard_normal((n, *shape)).astype(np.float32)
+        return x, y
+
+    return split(n_train), split(n_val)
+
+
+def batch_order(seed: int, n: int, batch: int, epochs: int):
+    """Identical epoch shuffles for both stacks."""
+    rng = np.random.default_rng(2000 + seed)
+    for _ in range(epochs):
+        idx = rng.permutation(n)
+        for i in range(0, n - batch + 1, batch):
+            yield idx[i:i + batch]
+
+
+def run_torch(seed: int, data, batch: int, epochs: int) -> float:
+    sys.path.insert(0, REFERENCE_ROOT)
+    import torch
+    from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
+
+    (xtr, ytr), (xva, yva) = data
+    torch.manual_seed(seed)
+    model = RefSpectreViT(**MODEL_KW, activation="gelu")
+    opt = torch.optim.AdamW(model.parameters(), betas=BETAS, lr=LR, weight_decay=WD)
+    steps = (len(xtr) // batch) * epochs
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
+    crit = torch.nn.CrossEntropyLoss()
+
+    model.train()
+    for idx in batch_order(seed, len(xtr), batch, epochs):
+        img = torch.from_numpy(xtr[idx])
+        label = torch.from_numpy(ytr[idx])
+        loss = crit(model(img), label)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        sched.step()
+
+    model.eval()
+    with torch.no_grad():
+        pred = model(torch.from_numpy(xva)).argmax(1).numpy()
+    return float((pred == yva).mean())
+
+
+def run_spectre_tpu(seed: int, data, batch: int, epochs: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from spectre_tpu.models import SpectreViT
+    from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    (xtr, ytr), (xva, yva) = data
+    model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather")
+    steps_per_epoch = len(xtr) // batch
+    cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
+                          adam_weight_decay=WD, epochs=epochs)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = create_train_state(model, tx, jnp.zeros((batch, *xtr.shape[1:])),
+                               seed=seed)
+    step = make_train_step(model)
+    for idx in batch_order(seed, len(xtr), batch, epochs):
+        state, _ = step(state, jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx]))
+
+    logits = model.apply({"params": state.params, "buffers": state.buffers},
+                         jnp.asarray(xva))
+    pred = np.asarray(jnp.argmax(logits, axis=1))
+    return float((pred == yva).mean())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--batch", type=int, default=64)
+    args = p.parse_args(argv)
+
+    accs = {"torch_reference": [], "spectre_tpu": []}
+    for seed in range(args.seeds):
+        data = make_dataset(seed)
+        a = run_torch(seed, data, args.batch, args.epochs)
+        b = run_spectre_tpu(seed, data, args.batch, args.epochs)
+        accs["torch_reference"].append(a)
+        accs["spectre_tpu"].append(b)
+        print(json.dumps({"seed": seed, "torch_reference": a, "spectre_tpu": b}),
+              flush=True)
+
+    summary = {k: {"mean": round(float(np.mean(v)), 4),
+                   "std": round(float(np.std(v)), 4)} for k, v in accs.items()}
+    summary["abs_mean_diff"] = round(abs(np.mean(accs["torch_reference"])
+                                         - np.mean(accs["spectre_tpu"])), 4)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.ops import (
     learnable_hadamard,
     make_mix_tables,
@@ -58,9 +59,10 @@ class SpectreLinear(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
-        w = self.param("kernel", nn.initializers.lecun_normal(),
+        w = self.param("kernel", torch_kernel_init,
                        (in_features, self.features), self.param_dtype)
-        b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        b = self.param("bias", torch_bias_init(in_features), (self.features,),
+                       self.param_dtype)
         gamma = self.param("ln_scale", nn.initializers.ones, (self.features,), self.param_dtype)
         beta = self.param("ln_bias", nn.initializers.zeros, (self.features,), self.param_dtype)
         args = (x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype),
@@ -89,9 +91,10 @@ class FusedMixLinear(nn.Module):
     def __call__(self, x2d: jnp.ndarray, perms: jnp.ndarray,
                  signs: jnp.ndarray) -> jnp.ndarray:
         in_features = (x2d.shape[-1] * perms.shape[0]) // self.token_dim
-        w = self.param("kernel", nn.initializers.lecun_normal(),
+        w = self.param("kernel", torch_kernel_init,
                        (in_features, self.features), self.param_dtype)
-        b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        b = self.param("bias", torch_bias_init(in_features), (self.features,),
+                       self.param_dtype)
         gamma = self.param("ln_scale", nn.initializers.ones, (self.features,), self.param_dtype)
         beta = self.param("ln_bias", nn.initializers.zeros, (self.features,), self.param_dtype)
         x2d = x2d.astype(self.dtype)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 import jax
 
+from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.models.layers import MHPermutMix
 from spectre_tpu.ops import fft2_real_matmul, haar_dwt_mix
 from spectre_tpu.ops.pallas import flash_attention
@@ -61,12 +62,16 @@ class MHFFTMixer(nn.Module):
         heads = []
         for h in range(self.num_heads):
             e = nn.Dense(head_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                         kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(x.shape[-1]),
                          name=f"head_{h}")(x)
             if self.use_fft:
                 e = fft2_real_matmul(e)
             heads.append(e)
         full = jnp.concatenate(heads, axis=-1)
         proj = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(full.shape[-1]),
                         name="proj_head")(full)
         return proj + residual
 
@@ -107,6 +112,20 @@ class AttentionMixer(nn.Module):
                 )
                 return jnp.transpose(out, (0, 2, 1, 3))
 
+        # torch nn.MultiheadAttention init (_reset_parameters): in_proj
+        # xavier_uniform over the packed [3E, E] matrix -> bound
+        # sqrt(6/(E+3E)) = sqrt(1.5/E); out_proj is a plain Linear
+        # (kaiming_uniform a=sqrt(5) -> bound 1/sqrt(E)); all biases zero.
+        e = self.embed_dim
+
+        def qkv_init(key, shape, dtype):
+            bound = (1.5 / e) ** 0.5
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        def out_init(key, shape, dtype):
+            bound = e ** -0.5
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
         return nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.embed_dim,
@@ -116,6 +135,8 @@ class AttentionMixer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attention_fn=attention_fn,
+            kernel_init=qkv_init,
+            out_kernel_init=out_init,
             name="mhsa",
         )(x, x)
 

@@ -16,6 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.ops import flatten_patches_cjk, spectral_patch_matrix
 
 Dtype = Any
@@ -38,6 +39,8 @@ class PatchEmbedding(nn.Module):
         B = x.shape[0]
         patches = flatten_patches_cjk(x.astype(self.dtype), self.patch_size)  # [B, N, C*P*P]
         x = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(patches.shape[-1]),
                      name="patcher")(patches)  # == Conv2d(k=P, s=P)
 
         cls = self.param("cls_token", nn.initializers.normal(1.0),
@@ -82,9 +85,9 @@ class SpectralPatchEmbed(nn.Module):
         freq_w = self.param("freq_weight_w", nn.initializers.ones, (F,), self.param_dtype)
         # proj params in spectral-domain layout [C*P*F, E] — identical state to
         # the reference nn.Linear (spectre.py:117), applied via the folded matrix
-        proj_kernel = self.param("proj_kernel", nn.initializers.lecun_normal(),
+        proj_kernel = self.param("proj_kernel", torch_kernel_init,
                                  (C * P * F, self.embed_dim), self.param_dtype)
-        proj_bias = self.param("proj_bias", nn.initializers.zeros,
+        proj_bias = self.param("proj_bias", torch_bias_init(C * P * F),
                                (self.embed_dim,), self.param_dtype)
 
         w_eff = spectral_patch_matrix(

@@ -26,6 +26,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.models.mixers import AttentionMixer, make_mixer
 from spectre_tpu.models.patch_embed import PatchEmbedding
 from spectre_tpu.ops import adaptive_avg_pool1d, dft_matrices
@@ -85,12 +86,20 @@ class SpectreBranchEncoderLayer(nn.Module):
         x = norm1(mixed) + x
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="linear1")(x)
+                     param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.d_model), name="linear1")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="linear2")(h)
+                     param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.dim_feedforward),
+                     name="linear2")(h)
         h = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="linear3")(h)
+                     param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.dim_feedforward),
+                     name="linear3")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return norm2(x + h)
 
@@ -117,14 +126,20 @@ class SpectreFeatExtractor(nn.Module):
                         : spec.shape[-1] // self.reduction]
         # NCHW -> NHWC for flax convs
         h = jnp.transpose(spec, (0, 2, 3, 1))
-        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype,
+                       kernel_init=torch_kernel_init)
 
         feats = []
         channels = self.in_channels
         for stage in range(self.num_stages):
+            prev = channels
             channels *= 3
-            h = conv(channels, (3, 3), padding="VALID", name=f"stage_{stage}")(h)
-            p = conv(self.embed_dim, (1, 1), name=f"project_{stage}")(h)
+            h = conv(channels, (3, 3), padding="VALID",
+                     bias_init=torch_bias_init(prev * 9),
+                     name=f"stage_{stage}")(h)
+            p = conv(self.embed_dim, (1, 1),
+                     bias_init=torch_bias_init(channels),
+                     name=f"project_{stage}")(h)
             b = p.shape[0]
             p = jnp.transpose(p, (0, 3, 1, 2)).reshape(b, self.embed_dim, -1)
             p = adaptive_avg_pool1d(p, self.num_tokens)  # [B, E, N]
@@ -169,6 +184,8 @@ class SpectreBranchEncoder(nn.Module):
             fused = jnp.concatenate([y, feats[i]], axis=-1)
             output = nn.Dense(self.d_model, dtype=self.dtype,
                               param_dtype=self.param_dtype,
+                              kernel_init=torch_kernel_init,
+                              bias_init=torch_bias_init(2 * self.d_model),
                               name=f"spectre_project_{i}")(fused)
         return output + src
 
@@ -212,7 +229,10 @@ class SpectreBranch(nn.Module):
 
         cls_token = x[:, 0, :]
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="mlp_head")(cls_token)
+                          param_dtype=self.param_dtype,
+                          kernel_init=torch_kernel_init,
+                          bias_init=torch_bias_init(self.embed_dim),
+                          name="mlp_head")(cls_token)
         logits = logits.astype(jnp.float32)
         if return_features:
             return logits, cls_token.astype(jnp.float32)

@@ -24,6 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.models.mixers import AttentionMixer
 from spectre_tpu.models.patch_embed import PatchEmbedding
 from spectre_tpu.ops import gelu_exact
@@ -54,11 +55,16 @@ class TransformerEncoderLayer(nn.Module):
                          name="norm1")(x + attn)
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="linear1")(x)
+                     param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.d_model), name="linear1")(x)
         h = gelu_exact(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="linear2")(h)
+                     param_dtype=self.param_dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.dim_feedforward),
+                     name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="norm2")(x + h)
@@ -106,7 +112,10 @@ class ViT(nn.Module):
 
         cls_token = x[:, 0, :]
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="mlp_head")(cls_token)
+                          param_dtype=self.param_dtype,
+                          kernel_init=torch_kernel_init,
+                          bias_init=torch_bias_init(self.embed_dim),
+                          name="mlp_head")(cls_token)
         logits = logits.astype(jnp.float32)
         if return_features:
             return logits, cls_token.astype(jnp.float32)

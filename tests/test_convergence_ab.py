@@ -1,0 +1,80 @@
+"""Convergence A/B vs the reference torch recipe (mini CI version).
+
+Full harness: benchmarks/convergence_ab.py; committed results: BASELINE.md.
+Two claims are locked in here:
+
+1. **Training-dynamics equivalence**: starting the spectre_tpu trainer from
+   the torch model's EXACT init (via models/torch_import) reproduces the
+   reference loop's final val accuracy — optimizer, schedule, loss and
+   model numerics match end-to-end through a real training run.
+2. **Own-init competitiveness**: with torch-parity initializers
+   (models/init.py), our own init converges at least as well as the
+   reference on the same data (measured: better — the reference's
+   _get_clones starts every encoder layer identical; ours are independent).
+"""
+
+import sys
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+from benchmarks.convergence_ab import (  # noqa: E402
+    BETAS, LR, MODEL_KW, WD, batch_order, make_dataset, run_spectre_tpu, run_torch,
+)
+
+BATCH, EPOCHS, SEED = 64, 5, 0
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_dataset(SEED, n_train=512, n_val=256)
+
+
+@pytest.fixture(scope="module")
+def torch_acc(data):
+    return run_torch(SEED, data, BATCH, EPOCHS)
+
+
+def test_trainer_from_torch_init_matches_reference_accuracy(data, torch_acc):
+    from spectre_tpu.models import SpectreViT, import_spectre_vit
+    from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+    from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
+
+    (xtr, ytr), (xva, yva) = data
+    torch.manual_seed(SEED)
+    ref = RefSpectreViT(**MODEL_KW, activation="gelu")
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather")
+    x0 = jnp.zeros((BATCH, *xtr.shape[1:]))
+    variables = model.init(jax.random.key(SEED), x0)
+    variables = import_spectre_vit(variables, sd, MODEL_KW["num_encoders"])
+
+    cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
+                          adam_weight_decay=WD, epochs=EPOCHS)
+    state = create_train_state(model, make_optimizer(cfg, len(xtr) // BATCH),
+                               x0, seed=SEED)
+    state = state.replace(params=jax.tree.map(jnp.asarray, variables["params"]),
+                          buffers=variables["buffers"])
+    step = make_train_step(model)
+    for idx in batch_order(SEED, len(xtr), BATCH, EPOCHS):
+        state, _ = step(state, jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx]))
+    logits = model.apply({"params": state.params, "buffers": state.buffers},
+                         jnp.asarray(xva))
+    acc = float((np.asarray(jnp.argmax(logits, 1)) == yva).mean())
+
+    # trained from identical init on identical batches, the two stacks land
+    # on (near-)identical val accuracy — f32 accumulation-order noise only
+    assert abs(acc - torch_acc) <= 0.02, (acc, torch_acc)
+
+
+def test_own_init_converges_at_least_as_well(data, torch_acc):
+    acc = run_spectre_tpu(SEED, data, BATCH, EPOCHS)
+    assert acc >= torch_acc - 0.03, (acc, torch_acc)
