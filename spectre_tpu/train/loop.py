@@ -9,6 +9,7 @@ perf metrics (steps/sec, images/sec/chip) the reference never measured.
 
 from __future__ import annotations
 
+import functools
 import signal
 import time
 from dataclasses import dataclass
@@ -16,6 +17,7 @@ from types import SimpleNamespace
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from spectre_tpu.data import (
@@ -63,16 +65,21 @@ def _dataset_stats(name: str):
     return _STATS.get(name, ((0.5,), (0.5,)))
 
 
+@functools.lru_cache(maxsize=None)
+def _resizer(img_size: int):
+    """One jitted resize per target size (a fresh closure per call would
+    retrace every invocation)."""
+    return jax.jit(lambda v: jax.image.resize(
+        v, (v.shape[0], v.shape[1], img_size, img_size), method="bilinear"))
+
+
 def _resize_to(img_size: int, *arrays):
     """Resize NCHW arrays to the model's input size (the reference resizes
     through torchvision transforms, train.py:92-99). No-op when they match."""
     out = []
     for a in arrays:
         if a.shape[-1] != img_size or a.shape[-2] != img_size:
-            a = np.asarray(jax.jit(
-                lambda v: jax.image.resize(
-                    v, (v.shape[0], v.shape[1], img_size, img_size),
-                    method="bilinear"))(a))
+            a = np.asarray(_resizer(img_size)(a))
         out.append(a)
     return out if len(out) > 1 else out[0]
 
@@ -203,17 +210,19 @@ def train_from_config(
         tr_loss = float(np.mean([m["loss"] for m in ems]))
         tr_acc = float(np.mean([m["accuracy"] for m in ems]))
 
-        # validation
-        sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+        # validation: accumulate sums ON DEVICE, one D2H sync per epoch
+        # (round 1 device_get'd every val batch — a host stall per batch)
+        dev_sums = None
         for batch in prefetch_to_mesh(val_iter_builder(), mesh):
             images = eval_transform(batch["image"])
-            out = jax.device_get(
-                eval_step(state.params, state.buffers, images, batch["label"],
-                          batch["valid"]))
-            for k2 in sums:
-                sums[k2] += float(out[k2])
-        val_loss = sums["loss_sum"] / max(sums["count"], 1)
-        val_acc = sums["correct"] / max(sums["count"], 1)
+            out = eval_step(state.params, state.buffers, images, batch["label"],
+                            batch["valid"])
+            dev_sums = out if dev_sums is None else jax.tree.map(
+                jnp.add, dev_sums, out)
+        sums = (jax.device_get(dev_sums) if dev_sums is not None
+                else {"loss_sum": 0.0, "correct": 0.0, "count": 0.0})
+        val_loss = float(sums["loss_sum"]) / max(float(sums["count"]), 1)
+        val_acc = float(sums["correct"]) / max(float(sums["count"]), 1)
         last_val = val_acc
         best_val = max(best_val, val_acc)
 
