@@ -43,19 +43,104 @@ class _Mlp(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
+def rope_2d_angles(n_side: int, head_dim: int, base: float = 100.0,
+                   dtype=jnp.float32):
+    """Axial 2D RoPE tables for an n_side x n_side patch grid.
+
+    DINOv3 drops the learned absolute position embedding in favor of rotary
+    embeddings over normalized patch coordinates. Convention implemented
+    here (documented; parity-locked by the torch oracle in
+    tests/test_distill_rope.py): patch-center coordinates normalized to
+    [-1, 1] per axis; the head dim D splits into an x-half and a y-half;
+    within each half, consecutive pairs (2i, 2i+1) rotate by
+    ``coord * base**(-2i/(D/2))``. Returns (cos, sin), each [N, D].
+    """
+    coords = (jnp.arange(n_side, dtype=dtype) + 0.5) / n_side * 2.0 - 1.0
+    yy, xx = jnp.meshgrid(coords, coords, indexing="ij")
+    pos = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # [N, 2]
+    dh = head_dim // 2  # per-axis half
+    freqs = base ** (-jnp.arange(dh // 2, dtype=dtype) * 2.0 / dh)  # [D/4]
+    ang = pos[:, :, None] * freqs[None, None, :]  # [N, 2, D/4]
+    ang = jnp.repeat(ang, 2, axis=-1)  # pair duplication -> [N, 2, D/2]
+    ang = ang.reshape(ang.shape[0], head_dim)  # x-half then y-half
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rotate_pairs(t: jnp.ndarray) -> jnp.ndarray:
+    """(x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...) on the last axis."""
+    t2 = t.reshape(*t.shape[:-1], t.shape[-1] // 2, 2)
+    rot = jnp.stack([-t2[..., 1], t2[..., 0]], axis=-1)
+    return rot.reshape(t.shape)
+
+
+def apply_rope(t: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """t: [B, N, H, D]; cos/sin: [N, D]."""
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return t * c + _rotate_pairs(t) * s
+
+
+class _RopeAttention(nn.Module):
+    """MHSA with axial 2D RoPE on q/k of the PATCH tokens only (CLS and
+    register/storage tokens are position-free, as in DINOv3). Param tree
+    matches flax MultiHeadDotProductAttention (query/key/value/out with
+    [E, H, Dh]-shaped kernels) so the torch qkv import map is shared."""
+
+    dim: int
+    num_heads: int
+    num_prefix: int  # tokens that do NOT get rotated (CLS + registers)
+    rope_base: float = 100.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, E = x.shape
+        H = self.num_heads
+        dh = E // H
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (H, dh), axis=-1, dtype=self.dtype, name=name)
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+
+        n_patch = N - self.num_prefix
+        n_side = int(round(n_patch ** 0.5))
+        cos, sin = rope_2d_angles(n_side, dh, self.rope_base, jnp.float32)
+        cos = cos.astype(q.dtype)
+        sin = sin.astype(q.dtype)
+
+        def rot(t):
+            prefix, patches = t[:, :self.num_prefix], t[:, self.num_prefix:]
+            return jnp.concatenate([prefix, apply_rope(patches, cos, sin)], axis=1)
+
+        q, k = rot(q), rot(k)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (dh ** 0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        return nn.DenseGeneral(E, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(out)
+
+
 class _Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     layerscale_init: float = 1e-5
+    use_rope: bool = False
+    num_prefix: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            out_features=self.dim, dtype=self.dtype, name="attn")(h, h)
+        if self.use_rope:
+            h = _RopeAttention(dim=self.dim, num_heads=self.num_heads,
+                               num_prefix=self.num_prefix, dtype=self.dtype,
+                               name="attn")(h)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.dim,
+                out_features=self.dim, dtype=self.dtype, name="attn")(h, h)
         ls1 = self.param("ls1_gamma", nn.initializers.constant(self.layerscale_init),
                          (self.dim,))
         x = x + h * ls1
@@ -68,7 +153,17 @@ class _Block(nn.Module):
 
 
 class DinoVisionTransformer(nn.Module):
-    """ViT-S/16 teacher backbone (DINO family layout)."""
+    """ViT-S/16 teacher backbone (DINO family layout).
+
+    ``variant``:
+    - "v2": DINOv2-style — learned absolute pos-embed added to CLS+patches.
+    - "v3": DINOv3-style — NO absolute pos-embed; axial 2D RoPE rotates q/k
+      of the patch tokens inside every attention block (CLS + register/
+      storage tokens stay position-free). This matches the reference's
+      actual teacher (train.py:66-74 loads dinov3_vits16); the RoPE
+      convention is parity-locked against a torch oracle in
+      tests/test_distill_rope.py.
+    """
 
     img_size: int = 224
     patch_size: int = 16
@@ -77,6 +172,7 @@ class DinoVisionTransformer(nn.Module):
     depth: int = 12
     num_heads: int = 6
     num_registers: int = 4
+    variant: str = "v3"
     dtype: Dtype = jnp.float32
 
     def forward_features(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
@@ -99,16 +195,25 @@ class DinoVisionTransformer(nn.Module):
         cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, E))
         regs = self.param("register_tokens", nn.initializers.normal(0.02),
                           (1, self.num_registers, E))
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n + 1, E))
+        if self.variant == "v2":
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, n + 1, E))
+            cls_tok = jnp.broadcast_to(cls, (B, 1, E)) + pos[:, :1]
+            tokens = tokens + pos[:, 1:]
+        else:
+            cls_tok = jnp.broadcast_to(cls, (B, 1, E))
 
         tokens = jnp.concatenate([
-            jnp.broadcast_to(cls, (B, 1, E)) + pos[:, :1],
+            cls_tok,
             jnp.broadcast_to(regs, (B, self.num_registers, E)),
-            tokens + pos[:, 1:],
+            tokens,
         ], axis=1)
 
+        use_rope = self.variant == "v3"
         for i in range(self.depth):
             tokens = _Block(dim=E, num_heads=self.num_heads, dtype=self.dtype,
+                            use_rope=use_rope,
+                            num_prefix=1 + self.num_registers,
                             name=f"block_{i}")(tokens)
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
         return {
@@ -168,8 +273,8 @@ def _torch_key_map(flax_params: dict, sd: dict[str, np.ndarray]) -> dict:
         fk = None
         if tk == "cls_token":
             fk = "cls_token"; arr = arr.reshape(1, 1, -1)
-        elif tk in ("register_tokens", "reg_tokens"):
-            fk = "register_tokens"
+        elif tk in ("register_tokens", "reg_tokens", "storage_tokens"):
+            fk = "register_tokens"  # dinov3 names them storage_tokens
         elif tk == "pos_embed":
             fk = "pos_embed"
         elif tk == "patch_embed.proj.weight":  # conv [E, C, P, P] -> dense [C*P*P, E]
@@ -229,12 +334,15 @@ def import_torch_state_dict(model: DinoVisionTransformer, params, sd: dict):
     return new_params, unused
 
 
-def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0):
+def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0,
+                 variant: str = "v3"):
     """Build (classifier_model, variables). Real weights load from
     $SPECTRE_TEACHER_WEIGHTS (a numpy .npz dump of the torch state_dict);
     otherwise seeded random init (hermetic fallback — this image has no
-    network egress to fetch DINOv3 checkpoints)."""
-    backbone = DinoVisionTransformer(img_size=img_size)
+    network egress to fetch DINOv3 checkpoints). ``variant='v3'`` (default,
+    matching the reference's dinov3_vits16 teacher) uses RoPE attention and
+    no absolute pos-embed; 'v2' keeps the learned pos-embed layout."""
+    backbone = DinoVisionTransformer(img_size=img_size, variant=variant)
     clf = DinoClassifier(backbone=backbone, num_classes=num_classes)
     x = jnp.zeros((1, 3, img_size, img_size))
     variables = clf.init(jax.random.key(seed), x)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -94,10 +96,12 @@ def structured_mix_pallas(
     """Same contract as ops.permute.structured_mix: x [B, N, E] (or [B, d]),
     tile_perms [H, T] int32, signs [1, H, d] -> [B, token_dim, d*H/token_dim].
 
-    Custom VJP: the kernel runs the forward; the backward is the VJP of the
-    jnp reference (transposed Hadamard matmul + inverse tile scatter — plain
-    XLA ops). Tables are fixed buffers, but their cotangents are still
-    defined so the op composes under any transform."""
+    Custom VJP: the kernel runs the forward; the backward is the analytic
+    transpose of the (linear) op — signs multiply, transposed Hadamard
+    matmul, gather by the INVERSE tile permutation, head-sum. No forward
+    recompute and no scatter (round-1 called jax.vjp of the jnp reference,
+    re-running the forward inside the backward). Table cotangents are zero
+    (fixed buffers) but defined so the op composes under any transform."""
     return _forward(x, tile_perms, signs, token_dim, interpret)
 
 
@@ -106,13 +110,20 @@ def _fwd(x, tile_perms, signs, token_dim, interpret):
 
 
 def _bwd(token_dim, interpret, res, g):
-    from spectre_tpu.ops.permute import structured_mix
-
     x, tile_perms, signs = res
-    _, vjp = jax.vjp(
-        lambda x_, p_, s_: structured_mix(x_, p_, s_, token_dim), x, tile_perms, signs
-    )
-    return vjp(g)
+    B = x.shape[0]
+    d = int(np.prod(x.shape[1:]))
+    H, n_tiles = tile_perms.shape
+    t = d // n_tiles
+
+    gs = g.reshape(B, H, n_tiles, t) * signs.reshape(1, H, n_tiles, t)
+    had = hadamard_matrix(t, gs.dtype)
+    dgathered = jnp.einsum("bhns,ts->bhnt", gs, had)  # H_t is symmetric; kept explicit
+    inv = jnp.argsort(tile_perms, axis=-1)  # inverse tile permutations
+    dxt = jnp.take_along_axis(dgathered, inv[None, :, :, None], axis=2).sum(axis=1)
+    return (dxt.reshape(x.shape),
+            np.zeros(tile_perms.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(signs))
 
 
 structured_mix_pallas.defvjp(_fwd, _bwd)

@@ -7,9 +7,10 @@ import numpy as np
 from spectre_tpu.distill import DinoClassifier, DinoVisionTransformer, import_torch_state_dict
 
 
-def tiny_teacher(img_size=32):
+def tiny_teacher(img_size=32, variant="v3"):
     return DinoVisionTransformer(img_size=img_size, patch_size=16, embed_dim=32,
-                                 depth=2, num_heads=2, num_registers=2)
+                                 depth=2, num_heads=2, num_registers=2,
+                                 variant=variant)
 
 
 def test_teacher_forward_features_contract(rng):
@@ -38,8 +39,9 @@ def test_dino_classifier(rng):
 
 def test_torch_state_dict_import(rng):
     """torch-layout tensors must land in the right flax leaves (weight
-    transposes, fused-qkv split)."""
-    bb = tiny_teacher()
+    transposes, fused-qkv split). Uses the v2 (pos-embed) layout; the v3
+    (RoPE/storage_tokens) layout is covered in tests/test_distill_rope.py."""
+    bb = tiny_teacher(variant="v2")
     x = jnp.zeros((1, 3, 32, 32))
     params = bb.init(jax.random.key(0), x)["params"]
     E = 32

@@ -1,0 +1,190 @@
+"""DINOv3-style RoPE teacher: parity vs a torch oracle + import-path test.
+
+VERDICT r1 #4: the round-1 teacher was a learned-pos-embed (DINOv2-style)
+ViT while the reference's actual teacher is dinov3_vits16 (train.py:66-74),
+which uses rotary position embeddings and no absolute pos-embed. The 'v3'
+variant implements axial 2D RoPE; this file locks the convention against a
+small independent torch reimplementation of the full DINOv3-style block
+(pre-norm, RoPE on patch q/k only, LayerScale, exact-GELU MLP) and tests
+the state_dict import path with the DINOv3 key layout (storage_tokens, no
+pos_embed).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from spectre_tpu.distill.teacher import (  # noqa: E402
+    DinoVisionTransformer,
+    _Block,
+    apply_rope,
+    import_torch_state_dict,
+    rope_2d_angles,
+)
+
+E, H, REG, SIDE = 32, 4, 2, 3  # head_dim 8, 9 patches
+N = 1 + REG + SIDE * SIDE
+
+
+def torch_rope_tables(n_side, head_dim, base=100.0):
+    """Independent torch implementation of the documented RoPE convention."""
+    coords = (torch.arange(n_side, dtype=torch.float64) + 0.5) / n_side * 2 - 1
+    yy, xx = torch.meshgrid(coords, coords, indexing="ij")
+    pos = torch.stack([xx.reshape(-1), yy.reshape(-1)], dim=-1)  # [N, 2]
+    dh = head_dim // 2
+    freqs = base ** (-torch.arange(dh // 2, dtype=torch.float64) * 2.0 / dh)
+    ang = pos[:, :, None] * freqs[None, None, :]
+    ang = torch.repeat_interleave(ang, 2, dim=-1).reshape(-1, head_dim)
+    return torch.cos(ang), torch.sin(ang)
+
+
+def torch_apply_rope(t, cos, sin):
+    # t: [B, N, H, D]
+    x2 = t.reshape(*t.shape[:-1], t.shape[-1] // 2, 2)
+    rot = torch.stack([-x2[..., 1], x2[..., 0]], dim=-1).reshape(t.shape)
+    return t * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+
+class TorchDinoV3Block(torch.nn.Module):
+    """Hand-built DINOv3-style block: pre-norm eps=1e-6, fused qkv, RoPE on
+    patch tokens only, LayerScale, exact-GELU MLP."""
+
+    def __init__(self, dim, heads, prefix):
+        super().__init__()
+        self.heads, self.prefix = heads, prefix
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = torch.nn.Linear(dim, 3 * dim)
+        self.proj = torch.nn.Linear(dim, dim)
+        self.ls1 = torch.nn.Parameter(torch.full((dim,), 1e-5))
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = torch.nn.Linear(dim, 4 * dim)
+        self.fc2 = torch.nn.Linear(4 * dim, dim)
+        self.ls2 = torch.nn.Parameter(torch.full((dim,), 1e-5))
+
+    def forward(self, x):
+        B, n, dim = x.shape
+        dh = dim // self.heads
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, n, 3, self.heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+        n_side = int(round((n - self.prefix) ** 0.5))
+        cos, sin = torch_rope_tables(n_side, dh)
+        cos, sin = cos.float(), sin.float()
+
+        def rot(t):
+            return torch.cat(
+                [t[:, :self.prefix],
+                 torch_apply_rope(t[:, self.prefix:], cos, sin)], dim=1)
+
+        q, k = rot(q), rot(k)
+        attn = torch.einsum("bqhd,bkhd->bhqk", q, k) / dh ** 0.5
+        attn = torch.softmax(attn, dim=-1)
+        out = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, n, dim)
+        x = x + self.proj(out) * self.ls1
+        h = self.norm2(x)
+        h = self.fc2(torch.nn.functional.gelu(self.fc1(h)))
+        return x + h * self.ls2
+
+
+def test_rope_tables_match_torch_oracle():
+    cj, sj = rope_2d_angles(SIDE, 8)
+    ct, st = torch_rope_tables(SIDE, 8)
+    np.testing.assert_allclose(np.asarray(cj), ct.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sj), st.numpy(), atol=1e-6)
+
+
+def test_apply_rope_matches_torch_oracle():
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((2, SIDE * SIDE, H, 8)).astype(np.float32)
+    cj, sj = rope_2d_angles(SIDE, 8)
+    ours = apply_rope(jnp.asarray(t), cj, sj)
+    ct, st = torch_rope_tables(SIDE, 8)
+    ref = torch_apply_rope(torch.from_numpy(t), ct.float(), st.float())
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_v3_block_matches_torch_oracle():
+    torch.manual_seed(0)
+    ref = TorchDinoV3Block(E, H, 1 + REG).eval()
+    x = np.random.default_rng(1).standard_normal((2, N, E)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    block = _Block(dim=E, num_heads=H, use_rope=True, num_prefix=1 + REG)
+    variables = block.init(jax.random.key(0), jnp.asarray(x))
+
+    # transfer the oracle's weights (fused qkv -> split q/k/v)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    dh = E // H
+    p = variables["params"]
+    w = sd["qkv.weight"].reshape(3, E, E)
+    b = sd["qkv.bias"].reshape(3, E)
+    for i, nme in enumerate(("query", "key", "value")):
+        p["attn"][nme]["kernel"] = jnp.asarray(
+            np.ascontiguousarray(w[i].T).reshape(E, H, dh))
+        p["attn"][nme]["bias"] = jnp.asarray(b[i].reshape(H, dh))
+    p["attn"]["out"]["kernel"] = jnp.asarray(
+        np.ascontiguousarray(sd["proj.weight"].T).reshape(H, dh, E))
+    p["attn"]["out"]["bias"] = jnp.asarray(sd["proj.bias"])
+    for ln, fl in (("norm1", "norm1"), ("norm2", "norm2")):
+        p[fl]["scale"] = jnp.asarray(sd[f"{ln}.weight"])
+        p[fl]["bias"] = jnp.asarray(sd[f"{ln}.bias"])
+    p["mlp"]["fc1"]["kernel"] = jnp.asarray(np.ascontiguousarray(sd["fc1.weight"].T))
+    p["mlp"]["fc1"]["bias"] = jnp.asarray(sd["fc1.bias"])
+    p["mlp"]["fc2"]["kernel"] = jnp.asarray(np.ascontiguousarray(sd["fc2.weight"].T))
+    p["mlp"]["fc2"]["bias"] = jnp.asarray(sd["fc2.bias"])
+    p["ls1_gamma"] = jnp.asarray(sd["ls1"])
+    p["ls2_gamma"] = jnp.asarray(sd["ls2"])
+
+    got = block.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_v3_state_dict_import_with_dinov3_key_layout():
+    """Synthetic torch state_dict with the DINOv3 key layout (fused qkv,
+    storage_tokens, ls{1,2}.gamma, NO pos_embed) imports fully into the v3
+    backbone and changes the forward output."""
+    model = DinoVisionTransformer(img_size=8, patch_size=4, embed_dim=E,
+                                  depth=2, num_heads=H, num_registers=REG,
+                                  variant="v3")
+    x = jnp.zeros((1, 3, 8, 8))
+    variables = model.init(jax.random.key(0), x)
+    rng = np.random.default_rng(5)
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd = {
+        "cls_token": t(1, 1, E),
+        "storage_tokens": t(1, REG, E),
+        "patch_embed.proj.weight": t(E, 3, 4, 4),
+        "patch_embed.proj.bias": t(E),
+        "norm.weight": 1 + t(E),
+        "norm.bias": t(E),
+    }
+    for i in range(2):
+        sd.update({
+            f"blocks.{i}.norm1.weight": 1 + t(E), f"blocks.{i}.norm1.bias": t(E),
+            f"blocks.{i}.norm2.weight": 1 + t(E), f"blocks.{i}.norm2.bias": t(E),
+            f"blocks.{i}.attn.qkv.weight": t(3 * E, E),
+            f"blocks.{i}.attn.qkv.bias": t(3 * E),
+            f"blocks.{i}.attn.proj.weight": t(E, E),
+            f"blocks.{i}.attn.proj.bias": t(E),
+            f"blocks.{i}.mlp.fc1.weight": t(4 * E, E),
+            f"blocks.{i}.mlp.fc1.bias": t(4 * E),
+            f"blocks.{i}.mlp.fc2.weight": t(E, 4 * E),
+            f"blocks.{i}.mlp.fc2.bias": t(E),
+            f"blocks.{i}.ls1.gamma": t(E), f"blocks.{i}.ls2.gamma": t(E),
+        })
+
+    before = model.apply(variables, jnp.ones((1, 3, 8, 8)))["x_norm_clstoken"]
+    new_params, unused = import_torch_state_dict(model, variables["params"], sd)
+    assert unused == [], unused
+    after = model.apply({"params": new_params},
+                        jnp.ones((1, 3, 8, 8)))["x_norm_clstoken"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # v3 tree has no pos_embed to miss
+    assert "pos_embed" not in new_params

@@ -108,6 +108,44 @@ def test_fused_linear_gradients(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_linear_all_grads_nonidentity(rng):
+    """The explicit backward (saved pre-LN residual, no forward recompute)
+    must match autodiff of the reference for EVERY argument, including the
+    K != N pool-residual path."""
+    x = jnp.asarray(rng.standard_normal((3, 5, 24)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((24, 8)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(8).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(8).astype(np.float32))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    gk = jax.grad(loss(lambda *a: fused_spectre_linear(*a, interpret=True)),
+                  argnums=(0, 1, 2, 3, 4))(x, w, b, gamma, beta)
+    gr = jax.grad(loss(spectre_linear_apply), argnums=(0, 1, 2, 3, 4))(
+        x, w, b, gamma, beta)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_linear_bwd_has_no_forward_gemm_recompute():
+    """The backward HLO must contain exactly the two backward GEMMs (dW, dx)
+    plus the pool matmul-free path — not a re-run of the forward x@w."""
+    x = jnp.zeros((4, 16), jnp.float32)
+    w = jnp.zeros((16, 16), jnp.float32)
+    b = g = jnp.zeros(16, jnp.float32)
+
+    def loss(x, w):
+        return jnp.sum(fused_spectre_linear(x, w, b, jnp.ones(16), g,
+                                            interpret=True) ** 2)
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(x, w))
+    # one forward pallas_call; backward contains only dot_generals
+    assert jaxpr.count("pallas_call") == 1
+
+
 def test_fwht_pallas_gradients(rng):
     x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
     g = jax.grad(lambda x_: jnp.sum(fwht_pallas(x_, interpret=True) ** 3))(x)
