@@ -1,0 +1,112 @@
+"""Multi-process (multi-host) smoke worker.
+
+Exercises the ``--multihost`` path (repl/train.py:52-57) that single-host
+runs never hit: ``jax.distributed.initialize`` with an explicit coordinator,
+a global mesh spanning both processes, one data-parallel train step built
+from per-process local shards (``jax.make_array_from_process_local_data``),
+and an orbax save + restore through train/checkpoint.py in the multi-process
+setting. Run by tests/test_multihost.py as 2 subprocesses on the CPU
+platform (each contributing 2 virtual devices -> a 4-device global mesh);
+the same entry works across real hosts with a reachable coordinator.
+
+    python -m spectre_tpu.parallel.multihost_smoke \
+        --coordinator localhost:12355 --num-processes 2 --process-id 0 \
+        --ckpt-dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--ckpt-dir", default="")
+    p.add_argument("--local-devices", type=int, default=2)
+    args = p.parse_args(argv)
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={args.local_devices}"
+        ).strip()
+
+    import jax
+
+    # this image's sitecustomize registers the TPU plugin at interpreter
+    # start; the env var alone is too late — force through jax.config
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectre_tpu.models import SpectreViT
+    from spectre_tpu.parallel import create_mesh
+    from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+    from types import SimpleNamespace
+
+    assert jax.process_count() == args.num_processes
+    n_global = jax.device_count()
+    assert n_global == args.num_processes * args.local_devices
+
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=3, num_classes=5,
+                       embed_dim=16, num_encoders=1, num_heads=2,
+                       hidden_dim=24, dropout=0.0)
+    cfg = SimpleNamespace(learning_rate=1e-3, epochs=1)
+    mesh = create_mesh()
+
+    global_batch = 2 * n_global
+    local_batch = global_batch // args.num_processes
+    rng = np.random.default_rng(0)  # same data everywhere; shards differ by slice
+    x_all = rng.uniform(0, 1, (global_batch, 3, 8, 8)).astype(np.float32)
+    y_all = rng.integers(0, 5, global_batch).astype(np.int32)
+    lo = args.process_id * local_batch
+    x_local, y_local = x_all[lo:lo + local_batch], y_all[lo:lo + local_batch]
+
+    data_sharding = NamedSharding(mesh, P(("data",)))
+    x = jax.make_array_from_process_local_data(data_sharding, x_local)
+    y = jax.make_array_from_process_local_data(data_sharding, y_local)
+
+    state = create_train_state(model, make_optimizer(cfg, 1),
+                               jnp.zeros((global_batch, 3, 8, 8)), seed=0)
+    step = make_train_step(model)
+    state, metrics = step(state, x, y)
+    loss = float(jax.device_get(metrics["loss"]))
+
+    restored_ok = None
+    if args.ckpt_dir:
+        from spectre_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir, max_to_keep=1)
+        ckpt.save(state, {"accuracy": 0.0})
+        ckpt.wait()
+        restored = ckpt.restore(state)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            jax.tree.leaves(state.params), jax.tree.leaves(restored.params))
+        restored_ok = max(jax.tree.leaves(diffs) or [0.0]) == 0.0
+        ckpt.close()
+
+    print(json.dumps({
+        "process_id": args.process_id,
+        "process_count": jax.process_count(),
+        "global_devices": n_global,
+        "loss": loss,
+        "step": int(jax.device_get(state.step)),
+        "restore_exact": restored_ok,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
