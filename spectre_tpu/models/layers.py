@@ -72,43 +72,6 @@ class SpectreLinear(nn.Module):
         return spectre_linear_apply(*args)
 
 
-class FusedMixLinear(nn.Module):
-    """Mix+projection with the custom-VJP mix op (ops/fused_mix.py).
-
-    Numerically the same computation as ``permut_mix`` -> ``SpectreLinear``
-    and with an IDENTICAL parameter tree (kernel/bias/ln_scale/ln_bias), so
-    checkpoints and exports are interchangeable with the unfused path; only
-    the mix's autodiff schedule differs (inverse-permutation gather instead
-    of a 20 ms/layer scatter-add — see the r2 profile in BASELINE.md).
-    """
-
-    features: int
-    token_dim: int
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x2d: jnp.ndarray, perms: jnp.ndarray,
-                 signs: jnp.ndarray) -> jnp.ndarray:
-        in_features = (x2d.shape[-1] * perms.shape[0]) // self.token_dim
-        w = self.param("kernel", torch_kernel_init,
-                       (in_features, self.features), self.param_dtype)
-        b = self.param("bias", torch_bias_init(in_features), (self.features,),
-                       self.param_dtype)
-        gamma = self.param("ln_scale", nn.initializers.ones, (self.features,), self.param_dtype)
-        beta = self.param("ln_bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-        x2d = x2d.astype(self.dtype)
-        signs2 = (signs[0] if signs.ndim == 3 else signs).astype(self.dtype)
-        # note: rematerializing the mix (jax.checkpoint over mix+linear,
-        # dots-saveable policy) was tried and MEASURED SLOWER (283.9 vs
-        # 258.8 ms/step) — XLA's saved-residual schedule wins here
-        mixed = permut_mix_fused(x2d, perms, signs2)
-        mixed = mixed.reshape(x2d.shape[0], self.token_dim, -1)
-        return spectre_linear_apply(
-            mixed, w.astype(self.dtype), b.astype(self.dtype),
-            gamma.astype(self.dtype), beta.astype(self.dtype))
-
-
 class MHPermutMix(nn.Module):
     """Multi-head sign-flip + permutation mixing (reference layers.py:53-73).
 
@@ -163,13 +126,20 @@ class MHPermutMix(nn.Module):
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value
-            if self.fused and not self.use_pallas:
-                return FusedMixLinear(self.out_channels, self.token_dim,
-                                      dtype=self.dtype,
-                                      param_dtype=self.param_dtype,
-                                      name="linear")(
-                    x.reshape(x.shape[0], -1), perms, signs)
-            mixed = permut_mix(x, perms, signs.astype(self.dtype), self.token_dim)
+            if self.fused:
+                # custom-VJP mix: inverse-permutation backward instead of
+                # the 20 ms/layer scatter-add (ops/fused_mix.py). Identical
+                # numerics and param/buffer tree; composes with either the
+                # XLA or the Pallas SpectreLinear below.
+                # (rematerializing mix+linear via jax.checkpoint was tried
+                # and MEASURED SLOWER, 283.9 vs 258.8 ms/step — BASELINE.md)
+                x2d = x.reshape(x.shape[0], -1)
+                signs2 = (signs[0] if signs.ndim == 3 else signs).astype(self.dtype)
+                mixed = permut_mix_fused(x2d, perms, signs2)
+                mixed = mixed.reshape(x.shape[0], self.token_dim, -1)
+            else:
+                mixed = permut_mix(x, perms, signs.astype(self.dtype),
+                                   self.token_dim)
         else:
             raise ValueError(f"unknown MHPermutMix impl {self.impl!r}")
         return SpectreLinear(self.out_channels, dtype=self.dtype,
