@@ -1,0 +1,175 @@
+// spectre_serve — native batching micro-server over the SpectreViT runner.
+//
+// Serves an exported .stw model (spectre_tpu/export) on a TCP socket with a
+// minimal length-prefixed binary protocol; the deployment counterpart of the
+// CLI runner (the reference ghost-ships a Rust inference crate consuming
+// exported models + example images, .gitignore:24 / vit_spectre_cifar100.py:251
+// — this is the serving half of that capability).
+//
+// Protocol (little-endian):
+//   request : "SPQ1" | u32 batch | batch*C*H*W float32 pixels (NCHW)
+//   response: "SPR1" | u32 batch | u32 num_classes | batch*classes float32
+//   error   : "SPER" | u32 len | len bytes of message
+// Connections are persistent: a client may send any number of requests; the
+// server replies in order and closes on EOF/protocol error.
+//
+// Concurrency: one detached thread per connection; within a request, samples
+// are fanned over a worker pool (hardware_concurrency), same as the CLI
+// runner's batch mode. Weights are loaded once, shared read-only.
+//
+// Usage:
+//   spectre_serve --weights w.stw --meta meta.txt [--port 0] [--max-batch 256]
+// Prints "LISTENING <port>" on stdout once ready (port 0 = ephemeral).
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <csignal>
+#include <cstring>
+#include <iostream>
+#include <map>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "../inference/spectre_model.h"
+
+namespace {
+
+bool read_full(int fd, void* buf, size_t n) {
+  char* p = static_cast<char*>(buf);
+  while (n > 0) {
+    ssize_t r = ::read(fd, p, n);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+bool write_full(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n > 0) {
+    ssize_t r = ::write(fd, p, n);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+void send_error(int fd, const std::string& msg) {
+  uint32_t len = (uint32_t)msg.size();
+  std::string out = "SPER";
+  out.append(reinterpret_cast<const char*>(&len), 4);
+  out.append(msg);
+  write_full(fd, out.data(), out.size());
+}
+
+struct Server {
+  spectre::Weights weights;
+  spectre::Config cfg;
+  uint32_t max_batch = 256;
+
+  void handle(int fd) const {
+    const size_t img_elems =
+        (size_t)cfg.in_channels * cfg.img_size * cfg.img_size;
+    char magic[4];
+    while (read_full(fd, magic, 4)) {
+      if (std::strncmp(magic, "SPQ1", 4) != 0) {
+        send_error(fd, "bad magic");
+        break;
+      }
+      uint32_t batch = 0;
+      if (!read_full(fd, &batch, 4)) break;
+      if (batch == 0 || batch > max_batch) {
+        send_error(fd, "batch out of range");
+        break;
+      }
+      std::vector<float> input(img_elems * batch);
+      if (!read_full(fd, input.data(), sizeof(float) * input.size())) break;
+
+      std::vector<std::vector<float>> per_sample(batch);
+      unsigned hw = std::thread::hardware_concurrency();
+      int workers = std::min<int>((int)batch, hw ? (int)hw : 2);
+      std::atomic<int> next{0};
+      std::vector<std::thread> pool;
+      for (int t = 0; t < workers; ++t)
+        pool.emplace_back([&]() {
+          for (int b = next.fetch_add(1); b < (int)batch;
+               b = next.fetch_add(1))
+            spectre::forward(weights, cfg, input.data() + img_elems * b,
+                             per_sample[b]);
+        });
+      for (auto& th : pool) th.join();
+
+      const uint32_t classes = (uint32_t)per_sample[0].size();
+      std::vector<char> resp(12 + sizeof(float) * (size_t)classes * batch);
+      std::memcpy(resp.data(), "SPR1", 4);
+      std::memcpy(resp.data() + 4, &batch, 4);
+      std::memcpy(resp.data() + 8, &classes, 4);
+      for (uint32_t b = 0; b < batch; ++b)
+        std::memcpy(resp.data() + 12 + sizeof(float) * (size_t)classes * b,
+                    per_sample[b].data(), sizeof(float) * classes);
+      if (!write_full(fd, resp.data(), resp.size())) break;
+    }
+    ::close(fd);
+  }
+};
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::map<std::string, std::string> args;
+  for (int i = 1; i + 1 < argc; i += 2) args[argv[i]] = argv[i + 1];
+  if (!args.count("--weights") || !args.count("--meta")) {
+    std::cerr << "usage: spectre_serve --weights w.stw --meta meta.txt "
+                 "[--port P] [--max-batch B]\n";
+    return 2;
+  }
+  ::signal(SIGPIPE, SIG_IGN);
+
+  Server srv;
+  srv.weights = spectre::load_stw(args["--weights"]);
+  auto meta = spectre::load_meta(args["--meta"]);
+  if (meta.count("model") && meta["model"] != "spectre_vit") {
+    std::cerr << "spectre_serve implements model=spectre_vit; got "
+              << meta["model"] << "\n";
+    return 2;
+  }
+  srv.cfg = spectre::Config{
+      std::stoi(meta["img_size"]),    std::stoi(meta["patch_size"]),
+      std::stoi(meta["in_channels"]), std::stoi(meta["num_classes"]),
+      std::stoi(meta["embed_dim"]),   std::stoi(meta["num_encoders"]),
+      std::stoi(meta["num_heads"]),   std::stoi(meta["hidden_dim"]),
+      meta.count("mix_impl") ? meta["mix_impl"] : "gather"};
+  if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
+
+  int port = args.count("--port") ? std::stoi(args["--port"]) : 0;
+  int sock = ::socket(AF_INET, SOCK_STREAM, 0);
+  int one = 1;
+  ::setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons((uint16_t)port);
+  if (::bind(sock, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+      ::listen(sock, 64) != 0) {
+    std::cerr << "bind/listen failed\n";
+    return 1;
+  }
+  socklen_t alen = sizeof(addr);
+  ::getsockname(sock, reinterpret_cast<sockaddr*>(&addr), &alen);
+  std::cout << "LISTENING " << ntohs(addr.sin_port) << std::endl;
+
+  for (;;) {
+    int fd = ::accept(sock, nullptr, nullptr);
+    if (fd < 0) continue;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    std::thread([&srv, fd]() { srv.handle(fd); }).detach();
+  }
+}

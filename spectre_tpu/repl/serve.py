@@ -1,0 +1,59 @@
+"""Serve a trained SpectreViT over the native inference daemon.
+
+Deployment entry point: exports the config's model (optionally from a
+checkpoint) to the .stw container, builds the native runtime if needed, and
+launches ``spectre_serve`` (native/serving/spectre_serve.cc) — the serving
+half of the capability the reference ghost-ships as a Rust inference crate
+(.gitignore:24, vit_spectre_cifar100.py:251).
+
+    python -m spectre_tpu.repl.serve --config spectre_tpu/configs/spectre_vit_cifar100.py \
+        [--ckpt runs/exp/ckpt] [--port 7788] [--max-batch 256] [--export-dir DIR]
+
+Clients: ``spectre_tpu.serving.SpectreClient`` (protocol documented there).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="spectre_tpu/configs/spectre_vit_cifar100.py")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (best step)")
+    p.add_argument("--port", type=int, default=7788)
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--export-dir", default=None,
+                   help="reuse/keep the export dir (default: runs/serve_export)")
+    p.add_argument("--set", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    from spectre_tpu.configs import parse_config
+    from spectre_tpu.repl.export import export_from_config
+    from spectre_tpu.repl.train import apply_overrides
+    from spectre_tpu.serving import start_server
+
+    r = subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.exit(f"native build failed:\n{r.stderr}")
+
+    cfg = apply_overrides(parse_config(args.config), args.set)
+    outdir = args.export_dir or os.path.join("runs", "serve_export")
+    export_from_config(cfg, checkpoint=args.ckpt, outdir=outdir, batch=1)
+    proc, port = start_server(outdir, port=args.port, max_batch=args.max_batch)
+    print(f"serving {getattr(cfg, 'model', 'spectre_vit')} from {outdir} "
+          f"on 127.0.0.1:{port} (ctrl-c to stop)")
+    try:
+        proc.wait()
+    except KeyboardInterrupt:
+        proc.kill()
+
+
+if __name__ == "__main__":
+    main()

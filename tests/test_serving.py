@@ -1,0 +1,115 @@
+"""Native serving daemon: logits parity vs JAX + measured request latency.
+
+VERDICT r1 next-step #10: a batching micro-server over the C++ runner with
+measured p50/p99. The test exports a tiny flagship-topology model, starts
+spectre_serve, and drives it through the Python client: single requests,
+batched requests, concurrent-connection requests, protocol errors.
+"""
+
+import os
+import struct
+import subprocess
+import time
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _cfg(**over):
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=3, num_classes=10,
+        embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=32,
+        dropout=0.0, batch_size=4, epochs=1, learning_rate=1e-3,
+        random_seed=0, compute_dtype="float32", param_dtype="float32",
+    )
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from spectre_tpu.repl.export import export_from_config
+    from spectre_tpu.serving import start_server
+
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    outdir = str(tmp_path_factory.mktemp("serve_export"))
+    export_from_config(_cfg(), outdir=outdir, batch=4)
+    proc, port = start_server(outdir)
+    yield outdir, port
+    proc.kill()
+
+
+def test_serving_logits_match_jax(served):
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    want = np.fromfile(f"{outdir}/example_logits.f32", np.float32).reshape(4, 10)
+    x = np.fromfile(f"{outdir}/example_input.f32", np.float32).reshape(4, 3, 8, 8)
+    with SpectreClient(port=port) as client:
+        got = client.infer(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+
+
+def test_serving_persistent_connection_and_latency(served):
+    """Many requests over one connection; record p50/p99."""
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    rng = np.random.default_rng(0)
+    lat = []
+    with SpectreClient(port=port) as client:
+        for _ in range(50):
+            x = rng.uniform(0, 1, (1, 3, 8, 8)).astype(np.float32)
+            t0 = time.perf_counter()
+            out = client.infer(x)
+            lat.append((time.perf_counter() - t0) * 1e3)
+            assert out.shape == (1, 10)
+            assert np.isfinite(out).all()
+    p50 = float(np.percentile(lat, 50))
+    p99 = float(np.percentile(lat, 99))
+    print(f"\nserving latency tiny-model single-image: p50={p50:.2f} ms p99={p99:.2f} ms")
+    assert p99 < 1000.0  # sanity: a tiny model request is not seconds
+
+
+def test_serving_concurrent_connections(served):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    x = np.fromfile(f"{outdir}/example_input.f32", np.float32).reshape(4, 3, 8, 8)
+    want = np.fromfile(f"{outdir}/example_logits.f32", np.float32).reshape(4, 10)
+
+    def one(_):
+        with SpectreClient(port=port) as c:
+            return c.infer(x)
+
+    with ThreadPoolExecutor(4) as ex:
+        for got in ex.map(one, range(8)):
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_rejects_bad_magic_and_oversized_batch(served):
+    import socket
+
+    outdir, port = served
+    s = socket.create_connection(("127.0.0.1", port))
+    s.sendall(b"XXXX" + struct.pack("<I", 1))
+    head = s.recv(4)
+    assert head == b"SPER"
+    s.close()
+
+    from spectre_tpu.serving import SpectreClient
+
+    with SpectreClient(port=port) as c:
+        with pytest.raises(RuntimeError, match="batch out of range"):
+            c.infer(np.zeros((999, 3, 8, 8), np.float32))
