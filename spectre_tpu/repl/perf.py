@@ -32,15 +32,49 @@ import numpy as np
 
 
 def _time_fn(fn, *args, warmup=5, iters=50):
+    """Two-point slope timing with a scalar-fetch barrier.
+
+    On this runtime ``block_until_ready`` does NOT block on independent
+    (non-donated) dispatch chains — round-1's per-op numbers timed dispatch,
+    not execution (BASELINE.md "Retraction"). The device executes in-order,
+    so fetching a derived SCALAR after N dispatches syncs on all N; the
+    slope between two N values cancels the constant ~30 ms tunnel fetch
+    latency and any remaining dispatch overhead.
+    """
+    red = jax.jit(lambda o: jnp.sum(
+        jax.tree.leaves(o)[0].astype(jnp.float32)))
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(np.asarray(red(out)))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        float(np.asarray(red(out)))
+        return time.perf_counter() - t0
+
+    n1 = max(2, iters // 5)
+    t1, t2 = run(n1), run(iters)
+    return max((t2 - t1) / (iters - n1), 1e-9)
+
+
+def _dispatch_floor(iters=200):
+    """Per-dispatch wall-clock floor of this runtime (slope of a trivial op).
+    Measurements at/below this are dispatch-bound: the device finishes
+    before the host can issue the next call, so the true kernel time is
+    SMALLER than reported — report them as '<= floor'."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    return _time_fn(f, x, warmup=10, iters=iters)
+
+
+def _fmt(dt, floor):
+    ms = dt * 1e3
+    return (f"<= {ms:.3f} ms (dispatch-bound)" if dt <= floor * 1.5
+            else f"{ms:.3f} ms")
 
 
 def cmd_latency(args):
@@ -68,7 +102,9 @@ def cmd_linear(args):
 
     from spectre_tpu.models.layers import SpectreLinear
 
-    print("SpectreLinear vs nn.Dense (square dims), avg ms/iter")
+    floor = _dispatch_floor()
+    print(f"SpectreLinear vs nn.Dense (square dims), avg ms/iter "
+          f"(dispatch floor {floor * 1e3:.3f} ms)")
     for p in range(8, 13):
         dim = 2 ** p
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -82,9 +118,8 @@ def cmd_linear(args):
                         warmup=args.warmup, iters=args.iters)
         t_d = _time_fn(jax.jit(lambda v, xx: dense.apply(v, xx)), vd, x,
                        warmup=args.warmup, iters=args.iters)
-        print(f"  dim={dim}: spectre {t_sl * 1e3:.3f} ms ({n_sl:,} params) | "
-              f"dense {t_d * 1e3:.3f} ms ({n_d:,} params) | "
-              f"ratio {t_sl / t_d:.2f}x")
+        print(f"  dim={dim}: spectre {_fmt(t_sl, floor)} ({n_sl:,} params) | "
+              f"dense {_fmt(t_d, floor)} ({n_d:,} params)")
 
 
 def cmd_mixer(args):
@@ -94,7 +129,9 @@ def cmd_mixer(args):
     from spectre_tpu.ops.pallas import structured_mix_pallas, use_interpret
 
     heads = args.heads
-    print(f"mixing time, H={heads}, avg ms/iter (dims 2^6..2^{args.max_pow})")
+    floor = _dispatch_floor()
+    print(f"mixing time, H={heads}, avg ms/iter (dims 2^6..2^{args.max_pow}; "
+          f"dispatch floor {floor * 1e3:.3f} ms)")
     for p in range(6, args.max_pow + 1):
         d = 2 ** p
         n = 8  # tokens; embed = d // n
@@ -111,14 +148,14 @@ def cmd_mixer(args):
                        ssigns, warmup=args.warmup, iters=args.iters)
         t_f = _time_fn(jax.jit(fft2_real_matmul), x,
                        warmup=args.warmup, iters=args.iters)
-        row = (f"  d={d}: gather {t_g * 1e3:.3f} | structured {t_s * 1e3:.3f} | "
-               f"fft2 {t_f * 1e3:.3f}")
+        row = (f"  d={d}: gather {_fmt(t_g, floor)} | "
+               f"structured {_fmt(t_s, floor)} | fft2 {_fmt(t_f, floor)}")
         if not use_interpret():
             t_sp = _time_fn(
                 jax.jit(partial(structured_mix_pallas, token_dim=n)),
                 x, tperms, ssigns, warmup=args.warmup, iters=args.iters)
-            row += f" | structured-pallas {t_sp * 1e3:.3f}"
-        print(row + "  (ms)")
+            row += f" | structured-pallas {_fmt(t_sp, floor)}"
+        print(row)
 
 
 def cmd_encoder(args):
@@ -163,13 +200,15 @@ def cmd_train(args):
         augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
         step = make_train_step(model, augment_fn=augment)
 
+        # donated-state chains serialize dispatch, so an end-of-loop scalar
+        # fetch is a truthful barrier here (bench.py uses the same method)
         for _ in range(args.warmup):
             state, m = step(state, images, labels)
-        jax.block_until_ready(m["loss"])
+        np.asarray(m["loss"])
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, m = step(state, images, labels)
-        jax.block_until_ready(m["loss"])
+        np.asarray(m["loss"])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"  pallas={int(use_pallas)} mix={mix_impl}: {dt * 1e3:.2f} ms/step "
               f"({b / dt:.0f} img/s)")
