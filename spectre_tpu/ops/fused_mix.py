@@ -49,6 +49,11 @@ def _fwd(x2d, perms, signs2):
 
 def _bwd(res, g):
     perms, signs2 = res
+    # sign-multiply BEFORE the gather. The multiply-after-gather variant
+    # (permute signs through inv, fuse the multiply into the head-sum) was
+    # tried and MEASURED SLOWER (245.9 vs 236.6 ms/step): the gather output
+    # lands B-minor, so the [H, d]-broadcast multiply strides badly there,
+    # while g*signs runs on the natural [B, H, d] layout.
     gs = g * signs2  # [B, H, d]
     inv = jnp.argsort(perms, axis=-1)  # inverse permutations
     dx = jnp.take_along_axis(gs, inv[None], axis=2).sum(axis=1)  # [B, d]
