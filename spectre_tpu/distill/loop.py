@@ -63,9 +63,13 @@ def distill_from_config(
 
     student = build_model(config)
     if teacher is None:
+        # "dinov3_*" teacher names select the RoPE variant (the reference's
+        # actual teacher, train.py:66-74); "dinov2_*" the learned-pos-embed one
+        variant = "v2" if str(getattr(config, "teacher", "dinov3_vits16")
+                              ).startswith("dinov2") else "v3"
         teacher, teacher_variables = load_teacher(
             config.num_classes, img_size=teacher_img_size,
-            seed=getattr(config, "random_seed", 42))
+            seed=getattr(config, "random_seed", 42), variant=variant)
 
     train_iter = BatchIterator(train_x, train_y, batch_size, shuffle=True,
                                seed=getattr(config, "random_seed", 42))

@@ -144,7 +144,9 @@ def train_from_config(
 
     # augmentation is compiled INTO the train step: one dispatch per step,
     # raw pixels cross the host boundary, keys derive from the state PRNG
-    train_step = make_train_step(model, augment_fn=augment)
+    train_step = make_train_step(
+        model, augment_fn=augment,
+        grad_accum_steps=int(getattr(config, "grad_accum_steps", 1)))
     eval_step = make_eval_step(model)
 
     name = experiment_name(config)

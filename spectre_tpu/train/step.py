@@ -61,18 +61,26 @@ def _accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32).mean()
 
 
-def make_train_step(model, augment_fn: Callable | None = None) -> Callable:
+def make_train_step(model, augment_fn: Callable | None = None,
+                    grad_accum_steps: int = 1) -> Callable:
     """Build the jitted train step. ``state`` is donated (buffers update in
     place in HBM); dropout/augmentation keys are folded from the state PRNG +
     step so the step stays a pure function of its inputs. When ``augment_fn``
     is given, device-side augmentation runs INSIDE the compiled step — one
-    dispatch per step, raw pixels in, no host-side key management."""
+    dispatch per step, raw pixels in, no host-side key management.
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
-        step_rng = jax.random.fold_in(state.rng, state.step)
+    ``grad_accum_steps`` > 1 splits the incoming batch into that many
+    microbatches and accumulates gradients over a ``lax.scan`` before the
+    single optimizer update — the standard TPU recipe for batch sizes whose
+    activations exceed HBM (the flagship config OOMs at B=2048 without it,
+    BASELINE.md). Numerics: mean-of-means over equal microbatches == the
+    full-batch mean; each microbatch gets its own dropout/augment key.
+    """
+
+    def compute(state: TrainState, rng: jnp.ndarray,
+                images: jnp.ndarray, labels: jnp.ndarray):
         if augment_fn is not None:
-            aug_rng, step_rng = jax.random.split(step_rng)
+            aug_rng, rng = jax.random.split(rng)
             images = augment_fn(aug_rng, images)
 
         def loss_fn(params):
@@ -80,7 +88,7 @@ def make_train_step(model, augment_fn: Callable | None = None) -> Callable:
                 {"params": params, "buffers": state.buffers},
                 images,
                 deterministic=False,
-                rngs={"dropout": step_rng},
+                rngs={"dropout": rng},
                 mutable=["losses"],
             )
             loss = cross_entropy_loss(logits, labels)
@@ -95,9 +103,38 @@ def make_train_step(model, augment_fn: Callable | None = None) -> Callable:
 
         (loss, (logits, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        new_state = state.apply_gradients(grads, state.rng)
         metrics = {"loss": loss, "accuracy": _accuracy(logits, labels),
                    "loss_aux": aux}
+        return grads, metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if grad_accum_steps <= 1:
+            grads, metrics = compute(state, step_rng, images, labels)
+        else:
+            a = grad_accum_steps
+            mb = images.shape[0] // a
+            im = images[: a * mb].reshape(a, mb, *images.shape[1:])
+            lb = labels[: a * mb].reshape(a, mb, *labels.shape[1:])
+            rngs = jax.random.split(step_rng, a)
+
+            def body(carry, xs):
+                g_acc, m_acc = carry
+                rng, x, y = xs
+                g, m = compute(state, rng, x, y)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            m0 = {"loss": jnp.float32(0), "accuracy": jnp.float32(0),
+                  "loss_aux": jnp.float32(0)}
+            (grads, metrics), _ = jax.lax.scan(body, (g0, m0), (rngs, im, lb))
+            grads = jax.tree.map(lambda v: v / a, grads)
+            metrics = jax.tree.map(lambda v: v / a, metrics)
+
+        new_state = state.apply_gradients(grads, state.rng)
         return new_state, metrics
 
     return train_step
