@@ -56,9 +56,14 @@ class BatchIterator:
                 sel = np.concatenate([sel, pad])
             else:
                 valid = b
+            mask = np.zeros(b, np.bool_)
+            mask[:valid] = True
             yield {
                 "image": self.images[sel],
                 "label": self.labels[sel],
+                # per-sample mask (shards with the batch — a scalar count
+                # cannot describe padding once batches span processes)
+                "mask": mask,
                 "valid": np.int32(valid),
             }
 
@@ -73,10 +78,20 @@ def prefetch_to_mesh(iterator, mesh, prefetch: int = 2):
     sharding = batch_sharding(mesh)
     queue = collections.deque()
 
+    if jax.process_count() > 1:
+        # multi-host: each process stages ITS slice of the global batch; the
+        # assembled jax.Array spans the whole mesh (global batch = local * P)
+        def place(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
+
     def stage(batch):
         return {
-            "image": jax.device_put(batch["image"], sharding),
-            "label": jax.device_put(batch["label"], sharding),
+            "image": place(batch["image"]),
+            "label": place(batch["label"]),
+            "mask": place(batch["mask"]),
             "valid": batch["valid"],
         }
 

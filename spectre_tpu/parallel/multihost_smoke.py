@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--train-loop", action="store_true",
+                   help="run train_from_config (full loop: sliced data, "
+                        "prefetch, eval, metrics) instead of the bare step")
     args = p.parse_args(argv)
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -59,6 +62,34 @@ def main(argv=None):
     assert jax.process_count() == args.num_processes
     n_global = jax.device_count()
     assert n_global == args.num_processes * args.local_devices
+
+    if args.train_loop:
+        # the REAL training loop end-to-end across processes: per-process
+        # data slices, prefetch_to_mesh -> make_array_from_process_local_data,
+        # masked eval, process-0-only metrics
+        from spectre_tpu.train.loop import train_from_config
+
+        cfg = SimpleNamespace(
+            model="spectre_vit", method="permut_mix", dataset="mnist",
+            img_size=8, patch_size=4, in_channels=1, num_classes=10,
+            embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=24,
+            dropout=0.0, batch_size=4 * n_global, val_batch_size=4 * n_global,
+            epochs=1, learning_rate=1e-3, random_seed=0,
+            compute_dtype="float32",
+            checkpoint_dir=args.ckpt_dir or "runs",
+        )
+        result = train_from_config(cfg, synthetic=True, max_steps=2,
+                                   checkpoint=False)
+        print(json.dumps({
+            "process_id": args.process_id,
+            "process_count": jax.process_count(),
+            "global_devices": n_global,
+            "loss": -1.0,
+            "step": int(jax.device_get(result.state.step)),
+            "val_accuracy": result.last_val_accuracy,
+            "restore_exact": None,
+        }), flush=True)
+        return
 
     model = SpectreViT(img_size=8, patch_size=4, in_channels=3, num_classes=5,
                        embed_dim=16, num_encoders=1, num_heads=2,

@@ -52,7 +52,7 @@ def evaluate(config, checkpoint: str | None = None, best: bool = False,
                                shuffle=False):
         out = jax.device_get(eval_step(
             state.params, state.buffers, transform(batch["image"]),
-            batch["label"], batch["valid"]))
+            batch["label"], batch["mask"]))
         for k in sums:
             sums[k] += float(out[k])
     loss = sums["loss_sum"] / max(sums["count"], 1)

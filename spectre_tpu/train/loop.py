@@ -115,8 +115,22 @@ def train_from_config(
     # static per-step shapes: batch must divide over the data axis
     batch_size -= batch_size % mesh.devices.shape[0]
 
+    # multi-host: each process loads/iterates ITS strided slice of the data
+    # and stages local batches of global_batch/P; equal per-process batch
+    # COUNTS are mandatory (a straggler process would deadlock the
+    # collectives), hence the truncation to the minimum slice length
+    pcount, pidx = jax.process_count(), jax.process_index()
+    is_main = pidx == 0
+    local_batch = batch_size
+    if pcount > 1:
+        n_tr = len(train_x) // pcount
+        train_x, train_y = train_x[pidx::pcount][:n_tr], train_y[pidx::pcount][:n_tr]
+        n_va = len(val_x) // pcount
+        val_x, val_y = val_x[pidx::pcount][:n_va], val_y[pidx::pcount][:n_va]
+        local_batch = batch_size // pcount
+
     model = build_model(config)
-    train_iter = BatchIterator(train_x, train_y, batch_size, shuffle=True,
+    train_iter = BatchIterator(train_x, train_y, local_batch, shuffle=True,
                                seed=getattr(config, "random_seed", 42))
     steps_per_epoch = max(1, len(train_iter))
     tx = make_optimizer(config, steps_per_epoch)
@@ -129,9 +143,11 @@ def train_from_config(
         rules = VIT_TP_RULES if getattr(config, "model", "") == "vit" \
             else SPECTRE_TP_RULES
         state = apply_tp(state, mesh, rules)
-    else:
+    elif pcount == 1:
         # replicate params/opt over the mesh; batches arrive data-sharded
         state = jax.device_put(state, replicated_sharding(mesh))
+    # (multi-process: identical seeded init on every process; GSPMD treats
+    # the process-local state as replicated — tests/test_multihost.py)
     n_params = param_count(state.params)
 
     mean, std = _dataset_stats(dataset)
@@ -151,15 +167,17 @@ def train_from_config(
 
     name = experiment_name(config)
     logdir = f"{getattr(config, 'checkpoint_dir', 'runs')}/{name}"
-    writer = MetricsWriter(logdir) if write_metrics else None
+    writer = MetricsWriter(logdir) if (write_metrics and is_main) else None
     ckpt = CheckpointManager(f"{logdir}/ckpt",
                              max_to_keep=getattr(config, "keep_checkpoints", 3)) if checkpoint else None
     if resume and ckpt and ckpt.latest_step is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
 
-    print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
-          f"chips={n_chips} batch={batch_size} steps/epoch={steps_per_epoch}")
+    if is_main:
+        print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
+              f"chips={n_chips} procs={pcount} batch={batch_size} "
+              f"steps/epoch={steps_per_epoch}")
 
     # preemption-aware save (SURVEY.md §5.3: the reference has no failure
     # recovery): on SIGTERM/SIGINT finish the current step, checkpoint the
@@ -218,7 +236,7 @@ def train_from_config(
         for batch in prefetch_to_mesh(val_iter_builder(), mesh):
             images = eval_transform(batch["image"])
             out = eval_step(state.params, state.buffers, images, batch["label"],
-                            batch["valid"])
+                            batch["mask"])
             dev_sums = out if dev_sums is None else jax.tree.map(
                 jnp.add, dev_sums, out)
         sums = (jax.device_get(dev_sums) if dev_sums is not None
@@ -238,9 +256,10 @@ def train_from_config(
             writer.flush()
         if ckpt:
             ckpt.save(state, {"accuracy": val_acc, "loss": val_loss})
-        print(f"epoch {epoch + 1}/{epochs} step {total_steps} "
-              f"train loss {tr_loss:.4f} acc {tr_acc:.4f} | "
-              f"val loss {val_loss:.4f} acc {val_acc:.4f}")
+        if is_main:
+            print(f"epoch {epoch + 1}/{epochs} step {total_steps} "
+                  f"train loss {tr_loss:.4f} acc {tr_acc:.4f} | "
+                  f"val loss {val_loss:.4f} acc {val_acc:.4f}")
 
     elapsed = time.time() - t_train0
     if writer:

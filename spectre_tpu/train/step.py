@@ -141,20 +141,21 @@ def make_train_step(model, augment_fn: Callable | None = None,
 
 
 def make_eval_step(model) -> Callable:
-    """Eval step over a possibly-padded batch: ``valid`` counts the real
-    examples (the pipeline pads the final batch to keep shapes static);
+    """Eval step over a possibly-padded batch: ``mask`` flags the real
+    examples per sample (the pipeline pads the final batch to keep shapes
+    static; a per-sample mask — not a scalar count — stays correct when the
+    global batch is assembled from per-process slices on multi-host);
     returns sums so the caller aggregates exact epoch metrics."""
 
     @jax.jit
-    def eval_step(params, buffers, images, labels, valid):
+    def eval_step(params, buffers, images, labels, mask):
         logits = model.apply({"params": params, "buffers": buffers}, images)
-        mask = jnp.arange(labels.shape[0]) < valid
         per_ex = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels) & mask)
         return {
             "loss_sum": jnp.sum(per_ex * mask),
             "correct": correct,
-            "count": jnp.asarray(valid, jnp.int32),
+            "count": jnp.sum(mask.astype(jnp.int32)),
         }
 
     return eval_step

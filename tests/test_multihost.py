@@ -55,3 +55,33 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
         assert o["restore_exact"] is True
     # SPMD: both processes computed the same global loss
     assert abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-6
+
+
+def test_two_process_full_train_loop(tmp_path):
+    """The REAL train_from_config across 2 processes: strided per-process
+    data slices, prefetch staging via make_array_from_process_local_data,
+    masked validation, process-0-only metric writing."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "spectre_tpu.parallel.multihost_smoke",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--ckpt-dir", str(tmp_path), "--train-loop"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=570)
+        assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    for o in outs:
+        assert o["process_count"] == 2
+        assert o["step"] == 2
+        assert 0.0 <= o["val_accuracy"] <= 1.0
+    # replicated eval: every process derives the same global val accuracy
+    assert outs[0]["val_accuracy"] == outs[1]["val_accuracy"]

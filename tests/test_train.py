@@ -118,12 +118,15 @@ def test_eval_step_padding_exact():
     eval_step = make_eval_step(model)
     # full batch
     full = eval_step(state.params, state.buffers, batch["image"], batch["label"],
-                     jnp.int32(8))
-    # pad 4 garbage rows; valid=8 over a 12-row batch must equal the full result
+                     jnp.ones(8, bool))
+    # pad 4 garbage rows; an 8-true mask over a 12-row batch must equal the
+    # full result (per-sample masks replaced scalar valid counts so padding
+    # stays correct when global batches span processes — see make_eval_step)
     img_pad = jnp.concatenate([batch["image"], jnp.zeros_like(batch["image"][:4])])
     lab_pad = jnp.concatenate([batch["label"], jnp.zeros(4, jnp.int32)])
+    mask_pad = jnp.arange(12) < 8
     padded_model_batch = eval_step(state.params, state.buffers, img_pad[:12],
-                                   lab_pad[:12], jnp.int32(8))
+                                   lab_pad[:12], mask_pad)
     np.testing.assert_allclose(float(full["loss_sum"]),
                                float(padded_model_batch["loss_sum"]), rtol=1e-5)
     assert int(full["correct"]) == int(padded_model_batch["correct"])
