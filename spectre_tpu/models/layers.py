@@ -30,6 +30,7 @@ from spectre_tpu.ops import (
     next_pow2,
     permut_mix,
     permut_mix_fused,
+    permut_mix_fused_t,
     rfft_real,
     spectre_linear_apply,
     structured_mix,
@@ -72,6 +73,55 @@ class SpectreLinear(nn.Module):
         return spectre_linear_apply(*args)
 
 
+class TokenMajorMixLinear(nn.Module):
+    """Mix + projection in token-major [.., B] layout (ops/fused_mix.py
+    ``permut_mix_fused_t``): the gather's natural B-minor output feeds a
+    batched-over-tokens projection GEMM directly, skipping the [B,N,E*H]
+    relayout copies of the batch-major path. Identical math and param tree
+    (kernel/bias/ln_scale/ln_bias) — selected by MHPermutMix(token_major=True).
+    """
+
+    features: int
+    token_dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, perms: jnp.ndarray,
+                 signs2: jnp.ndarray) -> jnp.ndarray:
+        B, N, E = x.shape
+        H = perms.shape[0]
+        in_features = E * H
+        w = self.param("kernel", torch_kernel_init,
+                       (in_features, self.features), self.param_dtype)
+        b = self.param("bias", torch_bias_init(in_features), (self.features,),
+                       self.param_dtype)
+        gamma = self.param("ln_scale", nn.initializers.ones, (self.features,),
+                           self.param_dtype)
+        beta = self.param("ln_bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        dt = self.dtype
+        xt = x.astype(dt).transpose(1, 2, 0).reshape(N * E, B)  # [d, B]
+        mixedT = permut_mix_fused_t(xt, perms, signs2.astype(dt))  # [H*d, B]
+        m3 = mixedT.reshape(N, in_features, B)  # identity reinterpretation
+        y = jnp.einsum("neb,eo->nbo", m3, w.astype(dt))  # [N, B, O]
+        o = self.features
+        if in_features == o:
+            pool = m3.transpose(0, 2, 1)
+        elif in_features % o == 0:
+            g = in_features // o
+            pool = jnp.mean(m3.reshape(N, o, g, B), axis=2,
+                            dtype=dt).transpose(0, 2, 1)
+        else:
+            from spectre_tpu.ops import adaptive_pool_matrix
+            pool = jnp.einsum("neb,eo->nbo", m3,
+                              adaptive_pool_matrix(in_features, o, dt))
+        from spectre_tpu.ops import gelu_exact, layer_norm
+        h = gelu_exact(layer_norm(y + b.astype(dt), gamma.astype(dt),
+                                  beta.astype(dt))) + pool
+        return h.transpose(1, 0, 2)  # [B, N, O]
+
+
 class MHPermutMix(nn.Module):
     """Multi-head sign-flip + permutation mixing (reference layers.py:53-73).
 
@@ -102,11 +152,26 @@ class MHPermutMix(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     fused: bool = True
+    token_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.embed_dim * self.token_dim
         x = x.astype(self.dtype)
+
+        if self.impl == "gather" and self.token_major:
+            def init_tables():
+                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+
+            tables = self.variable("buffers", "mix_tables", init_tables)
+            perms, signs = tables.value
+            signs2 = signs[0] if signs.ndim == 3 else signs
+            return TokenMajorMixLinear(self.out_channels, self.token_dim,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name="linear")(
+                x.reshape(x.shape[0], self.token_dim, self.embed_dim),
+                perms, signs2)
 
         if self.impl == "structured":
             def init_tables():

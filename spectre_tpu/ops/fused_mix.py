@@ -63,3 +63,37 @@ def _bwd(res, g):
 
 
 permut_mix_fused.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def permut_mix_fused_t(xt: jnp.ndarray, perms: jnp.ndarray,
+                       signs2: jnp.ndarray) -> jnp.ndarray:
+    """Token-major (transposed-layout) mix: [d, B] -> [H*d, B].
+
+    Same math as ``permut_mix_fused`` on x.T: row ``h*d + i`` of the output
+    is ``x[perms[h, i], :] * signs2[h, i]``. The gather moves B-contiguous
+    ROWS — the layout XLA's gather engine already prefers — and the output
+    IS the [N, E*H, B] tensor the batched projection GEMM consumes (the
+    torch ``.view`` reinterpretation is an identity split of the leading
+    axis), so no 1 GB relayout copies are needed on either side.
+    """
+    mixed = jnp.take(xt, perms.reshape(-1), axis=0)  # [H*d, B]
+    return mixed * signs2.reshape(-1, 1)
+
+
+def _fwd_t(xt, perms, signs2):
+    return permut_mix_fused_t(xt, perms, signs2), (perms, signs2)
+
+
+def _bwd_t(res, g):
+    perms, signs2 = res
+    h, d = perms.shape
+    gs = g.reshape(h, d, -1) * signs2[:, :, None]
+    inv = jnp.argsort(perms, axis=-1)
+    dxt = jnp.take_along_axis(gs, inv[:, :, None], axis=1).sum(axis=0)  # [d, B]
+    return (dxt,
+            np.zeros(perms.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(signs2))
+
+
+permut_mix_fused_t.defvjp(_fwd_t, _bwd_t)

@@ -84,3 +84,26 @@ def test_module_fused_vs_unfused_identical_tree_and_numerics():
     for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_u)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_token_major_variant_matches_batch_major():
+    """TokenMajorMixLinear (transposed-layout formulation): identical param
+    tree, outputs and grads as the batch-major path. Measured a wash at
+    flagship scale (238.4 vs 236.6 ms/step — XLA re-inserts equivalent
+    relayouts at the layer boundaries; BASELINE.md), kept as a parity-tested
+    alternative formulation."""
+    kw = dict(embed_dim=16, token_dim=8, num_heads=4, out_channels=16,
+              impl="gather")
+    m_a = MHPermutMix(**kw)
+    m_t = MHPermutMix(token_major=True, **kw)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (3, 8, 16)).astype(np.float32))
+    v = m_a.init(jax.random.key(7), x)
+    assert jax.tree.structure(v) == jax.tree.structure(m_t.init(jax.random.key(7), x))
+    np.testing.assert_allclose(np.asarray(m_a.apply(v, x)),
+                               np.asarray(m_t.apply(v, x)), atol=1e-6)
+    ga = jax.grad(lambda p: jnp.sum(m_a.apply({**v, "params": p}, x) ** 2))(v["params"])
+    gt = jax.grad(lambda p: jnp.sum(m_t.apply({**v, "params": p}, x) ** 2))(v["params"])
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
