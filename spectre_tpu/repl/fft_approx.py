@@ -12,7 +12,6 @@ StableHLO export path here.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +53,11 @@ def train_approximator(dim: int, steps: int, batch: int = 256,
 
 
 def time_fn(fn, *args, iters=200):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # slope timing (repl/perf.py): block_until_ready does not block on
+    # independent dispatch chains on this runtime
+    from spectre_tpu.repl.perf import _time_fn
+
+    return _time_fn(fn, *args, iters=iters)
 
 
 def timing_sweep(model, params, batch: int = 64):
