@@ -172,3 +172,29 @@ def test_spectre_branch_logits_match_reference(torch_seed):
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_spectre_vit_flagship_dims_logits_match_reference(torch_seed):
+    """Full flagship geometry (embed 512, 4 encoders, 16 heads, 32x32/p4 —
+    d = N*E = 33280): size-dependent subtleties (pool grouping at g=16,
+    the [N, E*H] view at full width) get no place to hide. torch CPU fwd at
+    B=2 is ~12 GFLOP — seconds, not minutes."""
+    from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
+
+    kw = dict(img_size=32, patch_size=4, in_channels=3, num_classes=100,
+              embed_dim=512, num_encoders=4, num_heads=16, hidden_dim=768,
+              dropout=0.0, activation="gelu")
+    ref = RefSpectreViT(**kw).eval()
+    x_np = np.random.default_rng(7).uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x_np), return_features=True)
+
+    kw.pop("activation")
+    model = SpectreViT(**kw, method="permut_mix", mix_impl="gather")
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np))
+    variables = import_spectre_vit(variables, _sd_numpy(ref), kw["num_encoders"])
+    logits, feats = model.apply(variables, jnp.asarray(x_np), return_features=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats.numpy(),
+                               atol=5e-4, rtol=1e-4)
