@@ -13,12 +13,17 @@
 // Connections are persistent: a client may send any number of requests; the
 // server replies in order and closes on EOF/protocol error.
 //
-// Concurrency: one detached thread per connection; within a request, samples
-// are fanned over a worker pool (hardware_concurrency), same as the CLI
-// runner's batch mode. Weights are loaded once, shared read-only.
+// Concurrency: one detached thread per connection reads requests and
+// enqueues them on a shared DYNAMIC BATCHER — samples from concurrent
+// requests are coalesced (up to --max-batch, or after --batch-timeout-us of
+// the first queued sample) and run through ONE fan-out forward pass, then
+// demuxed back to their connections. A lone client still gets its request
+// executed immediately; concurrent clients amortize the model pass.
+// Weights are loaded once, shared read-only.
 //
 // Usage:
-//   spectre_serve --weights w.stw --meta meta.txt [--port 0] [--max-batch 256]
+//   spectre_serve --weights w.stw --meta meta.txt [--port 0]
+//                 [--max-batch 256] [--batch-timeout-us 2000]
 // Prints "LISTENING <port>" on stdout once ready (port 0 = ephemeral).
 
 #include <arpa/inet.h>
@@ -28,10 +33,15 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <chrono>
+#include <condition_variable>
 #include <csignal>
 #include <cstring>
+#include <deque>
+#include <future>
 #include <iostream>
 #include <map>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -70,10 +80,86 @@ void send_error(int fd, const std::string& msg) {
   write_full(fd, out.data(), out.size());
 }
 
+// One queued inference job: a request's samples + the promise its
+// connection thread waits on.
+struct Job {
+  std::vector<float> input;                       // batch * C*H*W
+  uint32_t batch;
+  std::promise<std::vector<std::vector<float>>> done;
+};
+
 struct Server {
   spectre::Weights weights;
   spectre::Config cfg;
   uint32_t max_batch = 256;
+  int batch_timeout_us = 2000;
+
+  // dynamic batcher state
+  mutable std::mutex mu;
+  mutable std::condition_variable cv;
+  mutable std::deque<Job*> queue;
+  mutable uint32_t queued_samples = 0;
+
+  // Coalesce queued jobs into one fan-out forward pass. Runs on a single
+  // dispatcher thread: pop jobs until max_batch samples are staged or the
+  // timeout since the first sample expires, run all samples over the worker
+  // pool, fulfil each job's promise with its slice.
+  void batcher_loop() const {
+    const size_t img_elems =
+        (size_t)cfg.in_channels * cfg.img_size * cfg.img_size;
+    for (;;) {
+      std::vector<Job*> jobs;
+      uint32_t total = 0;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return !queue.empty(); });
+        // batching window: wait (bounded) for more requests to coalesce
+        if (batch_timeout_us > 0 && queued_samples < max_batch)
+          cv.wait_for(lk, std::chrono::microseconds(batch_timeout_us),
+                      [&] { return queued_samples >= max_batch; });
+        while (!queue.empty() && total + queue.front()->batch <= max_batch) {
+          jobs.push_back(queue.front());
+          total += queue.front()->batch;
+          queue.pop_front();
+        }
+        if (jobs.empty()) {  // single over-sized... cannot happen (guarded
+          jobs.push_back(queue.front());  // at enqueue); defensive
+          total = queue.front()->batch;
+          queue.pop_front();
+        }
+        queued_samples -= total;
+      }
+
+      // flatten job inputs into one sample array (views, no copy needed —
+      // per-sample pointers index into each job's buffer)
+      std::vector<const float*> samples;
+      samples.reserve(total);
+      for (Job* j : jobs)
+        for (uint32_t b = 0; b < j->batch; ++b)
+          samples.push_back(j->input.data() + img_elems * b);
+
+      std::vector<std::vector<float>> out(total);
+      unsigned hw = std::thread::hardware_concurrency();
+      int workers = std::min<int>((int)total, hw ? (int)hw : 2);
+      std::atomic<int> next{0};
+      std::vector<std::thread> pool;
+      for (int t = 0; t < workers; ++t)
+        pool.emplace_back([&]() {
+          for (int b = next.fetch_add(1); b < (int)total;
+               b = next.fetch_add(1))
+            spectre::forward(weights, cfg, samples[b], out[b]);
+        });
+      for (auto& th : pool) th.join();
+
+      size_t off = 0;
+      for (Job* j : jobs) {
+        std::vector<std::vector<float>> slice(out.begin() + off,
+                                              out.begin() + off + j->batch);
+        off += j->batch;
+        j->done.set_value(std::move(slice));
+      }
+    }
+  }
 
   void handle(int fd) const {
     const size_t img_elems =
@@ -90,22 +176,19 @@ struct Server {
         send_error(fd, "batch out of range");
         break;
       }
-      std::vector<float> input(img_elems * batch);
-      if (!read_full(fd, input.data(), sizeof(float) * input.size())) break;
-
-      std::vector<std::vector<float>> per_sample(batch);
-      unsigned hw = std::thread::hardware_concurrency();
-      int workers = std::min<int>((int)batch, hw ? (int)hw : 2);
-      std::atomic<int> next{0};
-      std::vector<std::thread> pool;
-      for (int t = 0; t < workers; ++t)
-        pool.emplace_back([&]() {
-          for (int b = next.fetch_add(1); b < (int)batch;
-               b = next.fetch_add(1))
-            spectre::forward(weights, cfg, input.data() + img_elems * b,
-                             per_sample[b]);
-        });
-      for (auto& th : pool) th.join();
+      Job job;
+      job.batch = batch;
+      job.input.resize(img_elems * batch);
+      if (!read_full(fd, job.input.data(),
+                     sizeof(float) * job.input.size())) break;
+      auto fut = job.done.get_future();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        queue.push_back(&job);
+        queued_samples += batch;
+      }
+      cv.notify_all();
+      std::vector<std::vector<float>> per_sample = fut.get();
 
       const uint32_t classes = (uint32_t)per_sample[0].size();
       std::vector<char> resp(12 + sizeof(float) * (size_t)classes * batch);
@@ -148,6 +231,9 @@ int main(int argc, char** argv) {
       std::stoi(meta["num_heads"]),   std::stoi(meta["hidden_dim"]),
       meta.count("mix_impl") ? meta["mix_impl"] : "gather"};
   if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
+  if (args.count("--batch-timeout-us"))
+    srv.batch_timeout_us = std::stoi(args["--batch-timeout-us"]);
+  std::thread([&srv]() { srv.batcher_loop(); }).detach();
 
   int port = args.count("--port") ? std::stoi(args["--port"]) : 0;
   int sock = ::socket(AF_INET, SOCK_STREAM, 0);

@@ -98,6 +98,34 @@ def test_serving_concurrent_connections(served):
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_dynamic_batcher_demux_correctness(served):
+    """Many concurrent mixed-size requests coalesce in the dynamic batcher;
+    every response must contain exactly ITS samples' logits (demux order)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    x = np.fromfile(f"{outdir}/example_input.f32", np.float32).reshape(4, 3, 8, 8)
+    want = np.fromfile(f"{outdir}/example_logits.f32", np.float32).reshape(4, 10)
+    rng = np.random.default_rng(3)
+    # slices precomputed (a numpy Generator is not thread-safe)
+    slices = []
+    for _ in range(24):
+        k = int(rng.integers(1, 4))
+        slices.append((int(rng.integers(0, 4 - k + 1)), k))
+
+    def one(i):
+        s, k = slices[i]
+        with SpectreClient(port=port) as c:
+            got = c.infer(x[s:s + k])
+        return s, k, got
+
+    with ThreadPoolExecutor(8) as ex:
+        for s, k, got in ex.map(one, range(24)):
+            np.testing.assert_allclose(got, want[s:s + k], rtol=1e-4, atol=1e-4)
+
+
 def test_serving_rejects_bad_magic_and_oversized_batch(served):
     import socket
 
