@@ -90,7 +90,8 @@ def run_torch(seed: int, data, batch: int, epochs: int) -> float:
     return float((pred == yva).mean())
 
 
-def run_spectre_tpu(seed: int, data, batch: int, epochs: int) -> float:
+def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
+                    compute_dtype: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +99,9 @@ def run_spectre_tpu(seed: int, data, batch: int, epochs: int) -> float:
     from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
 
     (xtr, ytr), (xva, yva) = data
-    model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather")
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather",
+                       dtype=dt)
     steps_per_epoch = len(xtr) // batch
     cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
                           adam_weight_decay=WD, epochs=epochs)
