@@ -130,17 +130,21 @@ class MHPermutMix(nn.Module):
     SpectreLinear. ``token_dim`` must equal N (the reference requires the
     sequence length at construction; SURVEY.md §5.7).
 
-    ``impl``:
-    - "gather":     exact reference semantics — arbitrary d-element
-                    permutations applied via XLA gather. Runs through the
-                    fused custom-VJP op by default (``fused``): same
-                    numerics + param tree, TPU-native backward (the XLA
-                    autodiff backward is a 20 ms/layer scatter-add).
-    - "structured": tile-structured random orthogonal mix (signs + 128-lane
-                    tile permutation + intra-tile Hadamard; ops/permute.py)
-                    with the same mixing statistics, MXU/DMA-native. With
-                    ``use_pallas`` it runs as the scalar-prefetch Pallas
-                    kernel (ops/pallas/structured_mix.py).
+    ``impl`` (the config's ``mix_impl`` knob — all gather variants share one
+    param/buffer tree and identical numerics, so checkpoints interchange):
+    - "gather":          exact reference semantics through the custom-VJP op
+                         (inverse-permutation backward; the XLA autodiff
+                         backward is a 20 ms/layer scatter-add). DEFAULT.
+    - "gather_unfused":  plain XLA autodiff path (the parity baseline).
+    - "gather_tm":       token-major transposed formulation
+                         (TokenMajorMixLinear; measured a wash at flagship
+                         scale — BASELINE.md).
+    - "structured":      tile-structured random orthogonal mix (signs +
+                         128-lane tile permutation + intra-tile Hadamard;
+                         ops/permute.py) with the same mixing statistics,
+                         MXU/DMA-native. With ``use_pallas`` it runs as the
+                         scalar-prefetch Pallas kernel
+                         (ops/pallas/structured_mix.py).
     """
 
     embed_dim: int
@@ -158,8 +162,13 @@ class MHPermutMix(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.embed_dim * self.token_dim
         x = x.astype(self.dtype)
+        impl = self.impl
+        fused = self.fused and impl != "gather_unfused"
+        token_major = self.token_major or impl == "gather_tm"
+        if impl in ("gather_unfused", "gather_tm"):
+            impl = "gather"
 
-        if self.impl == "gather" and self.token_major:
+        if impl == "gather" and token_major:
             def init_tables():
                 return make_mix_tables(self.make_rng("params"), self.num_heads, d)
 
@@ -173,7 +182,7 @@ class MHPermutMix(nn.Module):
                 x.reshape(x.shape[0], self.token_dim, self.embed_dim),
                 perms, signs2)
 
-        if self.impl == "structured":
+        if impl == "structured":
             def init_tables():
                 return make_structured_tables(self.make_rng("params"), self.num_heads, d)
 
@@ -185,13 +194,13 @@ class MHPermutMix(nn.Module):
             # XLA formulation; structured_mix_pallas stays for direct use.
             mixed = structured_mix(x, tile_perms, signs.astype(self.dtype),
                                    self.token_dim)
-        elif self.impl == "gather":
+        elif impl == "gather":
             def init_tables():
                 return make_mix_tables(self.make_rng("params"), self.num_heads, d)
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value
-            if self.fused:
+            if fused:
                 # custom-VJP mix: inverse-permutation backward instead of
                 # the 20 ms/layer scatter-add (ops/fused_mix.py). Identical
                 # numerics and param/buffer tree; composes with either the
