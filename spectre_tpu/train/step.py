@@ -114,6 +114,10 @@ def make_train_step(model, augment_fn: Callable | None = None,
             grads, metrics = compute(state, step_rng, images, labels)
         else:
             a = grad_accum_steps
+            if images.shape[0] % a:
+                raise ValueError(
+                    f"batch {images.shape[0]} not divisible by "
+                    f"grad_accum_steps={a} — samples would be silently dropped")
             mb = images.shape[0] // a
             im = images[: a * mb].reshape(a, mb, *images.shape[1:])
             lb = labels[: a * mb].reshape(a, mb, *labels.shape[1:])
