@@ -64,21 +64,12 @@ int main(int argc, char** argv) {
   std::vector<float> input(img_elems * batch);
   in.read(reinterpret_cast<char*>(input.data()), sizeof(float) * input.size());
 
-  // batch-parallel forward: one thread per sample (the runner is a host
-  // CPU engine; samples are independent)
-  std::vector<std::vector<float>> per_sample(batch);
-  auto run_all = [&]() {
-    std::vector<std::thread> pool;
-    unsigned hw = std::thread::hardware_concurrency();
-    int workers = std::min<int>(batch, hw ? (int)hw : 2);
-    std::atomic<int> next{0};
-    for (int t = 0; t < workers; ++t)
-      pool.emplace_back([&]() {
-        for (int b = next.fetch_add(1); b < batch; b = next.fetch_add(1))
-          forward(w, c, input.data() + img_elems * b, per_sample[b]);
-      });
-    for (auto& th : pool) th.join();
-  };
+  // batch-parallel forward (shared worker-pool helper, spectre_model.h)
+  std::vector<const float*> samples;
+  for (int b = 0; b < batch; ++b)
+    samples.push_back(input.data() + img_elems * b);
+  std::vector<std::vector<float>> per_sample;
+  auto run_all = [&]() { forward_batch(w, c, samples, per_sample); };
   run_all();
 
   if (args.count("--repeat")) {  // latency bench mode

@@ -13,6 +13,8 @@
 #ifndef SPECTRE_MODEL_H_
 #define SPECTRE_MODEL_H_
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -20,6 +22,7 @@
 #include <iostream>
 #include <map>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace spectre {
@@ -37,7 +40,7 @@ struct Tensor {
 
 using Weights = std::map<std::string, Tensor>;
 
-Weights load_stw(const std::string& path) {
+inline Weights load_stw(const std::string& path) {
   std::ifstream in(path, std::ios::binary);
   if (!in) { std::cerr << "cannot open " << path << "\n"; std::exit(1); }
   char magic[4];
@@ -69,7 +72,7 @@ Weights load_stw(const std::string& path) {
   return w;
 }
 
-std::map<std::string, std::string> load_meta(const std::string& path) {
+inline std::map<std::string, std::string> load_meta(const std::string& path) {
   std::map<std::string, std::string> meta;
   std::ifstream in(path);
   if (!in) { std::cerr << "cannot open " << path << "\n"; std::exit(1); }
@@ -82,14 +85,14 @@ std::map<std::string, std::string> load_meta(const std::string& path) {
   return meta;
 }
 
-const Tensor& get(const Weights& w, const std::string& k) {
+inline const Tensor& get(const Weights& w, const std::string& k) {
   auto it = w.find(k);
   if (it == w.end()) { std::cerr << "missing tensor " << k << "\n"; std::exit(1); }
   return it->second;
 }
 
 // out[M,N] = x[M,K] @ w[K,N] (+bias[N] if given)
-void gemm(const float* x, const float* w, const float* bias, float* out,
+inline void gemm(const float* x, const float* w, const float* bias, float* out,
           int M, int K, int N) {
   for (int m = 0; m < M; ++m) {
     float* o = out + (size_t)m * N;
@@ -105,7 +108,7 @@ void gemm(const float* x, const float* w, const float* bias, float* out,
   }
 }
 
-void layer_norm(float* x, const float* scale, const float* bias, int M, int N,
+inline void layer_norm(float* x, const float* scale, const float* bias, int M, int N,
                 float eps = 1e-5f) {
   for (int m = 0; m < M; ++m) {
     float* r = x + (size_t)m * N;
@@ -126,7 +129,7 @@ inline float gelu(float v) {  // exact erf form (torch nn.GELU default)
 }
 
 // torch AdaptiveAvgPool1d over the last axis
-void adaptive_pool(const float* x, float* out, int M, int L, int Lo) {
+inline void adaptive_pool(const float* x, float* out, int M, int L, int Lo) {
   for (int m = 0; m < M; ++m) {
     const float* r = x + (size_t)m * L;
     float* o = out + (size_t)m * Lo;
@@ -141,7 +144,7 @@ void adaptive_pool(const float* x, float* out, int M, int L, int Lo) {
 }
 
 // SpectreLinear: GELU(LN(x@w + b)) + adaptive_pool(x) (models/layers.py)
-void spectre_linear(const Weights& w, const std::string& prefix,
+inline void spectre_linear(const Weights& w, const std::string& prefix,
                     const std::vector<float>& x, std::vector<float>& out,
                     int M, int K) {
   const Tensor& kernel = get(w, prefix + ".kernel");
@@ -170,7 +173,7 @@ struct Config {
 // spectral patch embed: fold rfft2(ortho).real + freq weights + projection
 // into one [C*P*P, E] matrix (ops/fft.py spectral_patch_matrix), then embed
 // patches with a single GEMM.
-void spectral_patch_embed(const Weights& w, const Config& c,
+inline void spectral_patch_embed(const Weights& w, const Config& c,
                           const float* img,  // [C, H, W]
                           std::vector<float>& tokens /* [N+1, E] */) {
   const int P = c.patch_size, C = c.in_channels, E = c.embed_dim;
@@ -227,7 +230,7 @@ void spectral_patch_embed(const Weights& w, const Config& c,
 // MHPermutMix (models/layers.py): flatten [N,E] -> d, per-head permute+sign
 // (gather impl) or tile-permute+sign+intra-tile Hadamard (structured impl),
 // reinterpret [H, d] as [N, E*H], project with SpectreLinear.
-void permut_mix(const Weights& w, const Config& c, const std::string& prefix,
+inline void permut_mix(const Weights& w, const Config& c, const std::string& prefix,
                 const std::vector<float>& x /* [N, E] */, int N,
                 std::vector<float>& out) {
   const int E = c.embed_dim, d = N * E;
@@ -268,7 +271,7 @@ void permut_mix(const Weights& w, const Config& c, const std::string& prefix,
   spectre_linear(w, "params." + prefix + ".linear", mixed, out, N, E * H);
 }
 
-void encoder_layer(const Weights& w, const Config& c, const std::string& prefix,
+inline void encoder_layer(const Weights& w, const Config& c, const std::string& prefix,
                    std::vector<float>& x /* [N, E] */, int N) {
   const int E = c.embed_dim;
   // x = norm1(mix(x)) + x        (post-norm on mixer output only)
@@ -286,7 +289,7 @@ void encoder_layer(const Weights& w, const Config& c, const std::string& prefix,
              get(w, "params." + prefix + ".norm2.bias").f.data(), N, E);
 }
 
-void forward(const Weights& w, const Config& c, const float* img,
+inline void forward(const Weights& w, const Config& c, const float* img,
              std::vector<float>& logits) {
   const int nside = c.img_size / c.patch_size;
   const int N = nside * nside + 1;  // + CLS
@@ -298,6 +301,26 @@ void forward(const Weights& w, const Config& c, const float* img,
   for (size_t idx = 0; idx < x.size(); ++idx) x[idx] += src[idx];
   std::vector<float> cls(x.begin(), x.begin() + c.embed_dim);
   spectre_linear(w, "params.mlp_head", cls, logits, 1, c.embed_dim);
+}
+
+// Batch-parallel forward over independent samples (one thread per core).
+// Shared by the CLI runner's --batch mode and the serving daemon's dynamic
+// batcher so threading fixes land in both binaries.
+inline void forward_batch(const Weights& w, const Config& c,
+                          const std::vector<const float*>& samples,
+                          std::vector<std::vector<float>>& out) {
+  const int total = (int)samples.size();
+  out.resize(total);
+  unsigned hw = std::thread::hardware_concurrency();
+  int workers = std::min<int>(total, hw ? (int)hw : 2);
+  std::atomic<int> next{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < workers; ++t)
+    pool.emplace_back([&]() {
+      for (int b = next.fetch_add(1); b < total; b = next.fetch_add(1))
+        forward(w, c, samples[b], out[b]);
+    });
+  for (auto& th : pool) th.join();
 }
 
 }  // namespace spectre

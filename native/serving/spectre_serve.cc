@@ -138,18 +138,8 @@ struct Server {
         for (uint32_t b = 0; b < j->batch; ++b)
           samples.push_back(j->input.data() + img_elems * b);
 
-      std::vector<std::vector<float>> out(total);
-      unsigned hw = std::thread::hardware_concurrency();
-      int workers = std::min<int>((int)total, hw ? (int)hw : 2);
-      std::atomic<int> next{0};
-      std::vector<std::thread> pool;
-      for (int t = 0; t < workers; ++t)
-        pool.emplace_back([&]() {
-          for (int b = next.fetch_add(1); b < (int)total;
-               b = next.fetch_add(1))
-            spectre::forward(weights, cfg, samples[b], out[b]);
-        });
-      for (auto& th : pool) th.join();
+      std::vector<std::vector<float>> out;
+      spectre::forward_batch(weights, cfg, samples, out);
 
       size_t off = 0;
       for (Job* j : jobs) {
@@ -173,8 +163,25 @@ struct Server {
       uint32_t batch = 0;
       if (!read_full(fd, &batch, 4)) break;
       if (batch == 0 || batch > max_batch) {
+        // drain the request payload BEFORE replying, then keep the
+        // connection alive: closing with unread data in the receive queue
+        // sends RST, which can discard the queued SPER bytes and abort the
+        // client's in-flight sendall
+        if (batch == 0 || batch > (1u << 20)) {  // nonsensical: just error+close
+          send_error(fd, "batch out of range");
+          break;
+        }
+        std::vector<char> sink(1 << 16);
+        size_t left = sizeof(float) * img_elems * batch;
+        bool ok = true;
+        while (left > 0 && ok) {
+          size_t chunk = std::min(left, sink.size());
+          ok = read_full(fd, sink.data(), chunk);
+          left -= chunk;
+        }
         send_error(fd, "batch out of range");
-        break;
+        if (!ok) break;
+        continue;
       }
       Job job;
       job.batch = batch;
@@ -222,6 +229,13 @@ int main(int argc, char** argv) {
   if (meta.count("model") && meta["model"] != "spectre_vit") {
     std::cerr << "spectre_serve implements model=spectre_vit; got "
               << meta["model"] << "\n";
+    return 2;
+  }
+  if (meta.count("method") && meta["method"] != "permut_mix") {
+    // fail at startup, not at the first request's forward() deep inside a
+    // worker thread (same guard as the CLI runner)
+    std::cerr << "spectre_serve implements method=permut_mix "
+                 "(gather|structured); got " << meta["method"] << "\n";
     return 2;
   }
   srv.cfg = spectre::Config{

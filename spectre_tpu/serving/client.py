@@ -33,6 +33,8 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
     """Launch spectre_serve on an exported model directory (weights.stw +
     meta.txt, as written by repl/export.py). Returns (Popen, bound_port)."""
     binary = binary or SERVER_BIN
+    import select
+
     proc = subprocess.Popen(
         [binary,
          "--weights", os.path.join(export_dir, "weights.stw"),
@@ -42,10 +44,16 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
     deadline = time.time() + timeout
     line = ""
     while time.time() < deadline:
+        # select enforces the timeout even while the daemon prints nothing
+        # (a blocking readline would hang past the deadline)
+        ready, _, _ = select.select([proc.stdout], [], [],
+                                    max(0.0, deadline - time.time()))
+        if not ready:
+            break
         line = proc.stdout.readline()
         if line.startswith("LISTENING"):
             return proc, int(line.split()[1])
-        if proc.poll() is not None:
+        if proc.poll() is not None and not line:
             break
     proc.kill()
     raise RuntimeError(f"spectre_serve did not come up (last line: {line!r})")

@@ -203,9 +203,13 @@ def train_from_config(
     log_every = int(getattr(config, "log_every", 50))
     done = False
 
+    # val batch is GLOBAL like the train batch: divide across processes
+    # (each process stages its slice; the assembled eval batch must not be
+    # P x the configured size)
+    val_local_batch = max(1, int(getattr(config, "val_batch_size",
+                                         batch_size)) // pcount)
     val_iter_builder = lambda: BatchIterator(  # noqa: E731
-        val_x, val_y, int(getattr(config, "val_batch_size", batch_size)),
-        shuffle=False)
+        val_x, val_y, val_local_batch, shuffle=False)
 
     for epoch in range(epochs):
         if done:
