@@ -92,7 +92,6 @@ def run_torch(seed: int, data, batch: int, epochs: int) -> float:
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
                     compute_dtype: str = "float32") -> float:
-    import jax
     import jax.numpy as jnp
 
     from spectre_tpu.models import SpectreViT

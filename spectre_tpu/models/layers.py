@@ -15,11 +15,9 @@ tests/test_ops_linear_permute.py):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from spectre_tpu.models.init import torch_bias_init, torch_kernel_init

@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import numpy as np
 
 from spectre_tpu.configs import parse_config
 from spectre_tpu.data import BatchIterator, make_eval_transform
