@@ -87,8 +87,12 @@ int64_t dataio_load_mnist_idx(const char* images_path, const char* labels_path,
   if (ib.size() < 16 || lb.size() < 8) return -1;
   if (be32(ib.data()) != 0x803 || be32(lb.data()) != 0x801) return -1;
   int64_t n = std::min<int64_t>(be32(ib.data() + 4), max_n);
+  // the labels file must cover n too (a truncated labels file would be an
+  // out-of-bounds heap read below)
+  n = std::min<int64_t>(n, be32(lb.data() + 4));
   int64_t rows = be32(ib.data() + 8), cols = be32(ib.data() + 12);
   if ((int64_t)ib.size() < 16 + n * rows * cols) return -1;
+  if ((int64_t)lb.size() < 8 + n) return -1;
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       labels[i] = lb[8 + i];

@@ -51,10 +51,10 @@ int main(int argc, char** argv) {
                  "(gather|structured); got " << meta["method"] << "\n";
     return 2;
   }
-  Config c{std::stoi(meta["img_size"]), std::stoi(meta["patch_size"]),
-           std::stoi(meta["in_channels"]), std::stoi(meta["num_classes"]),
-           std::stoi(meta["embed_dim"]), std::stoi(meta["num_encoders"]),
-           std::stoi(meta["num_heads"]), std::stoi(meta["hidden_dim"]),
+  Config c{meta_int(meta, "img_size"), meta_int(meta, "patch_size"),
+           meta_int(meta, "in_channels"), meta_int(meta, "num_classes"),
+           meta_int(meta, "embed_dim"), meta_int(meta, "num_encoders"),
+           meta_int(meta, "num_heads"), meta_int(meta, "hidden_dim"),
            meta.count("mix_impl") ? meta["mix_impl"] : "gather"};
 
   const int batch = args.count("--batch") ? std::stoi(args["--batch"]) : 1;

@@ -72,6 +72,12 @@ inline Weights load_stw(const std::string& path) {
   return w;
 }
 
+inline std::string trim(const std::string& s) {
+  size_t a = s.find_first_not_of(" \t\r");
+  size_t b = s.find_last_not_of(" \t\r");
+  return a == std::string::npos ? "" : s.substr(a, b - a + 1);
+}
+
 inline std::map<std::string, std::string> load_meta(const std::string& path) {
   std::map<std::string, std::string> meta;
   std::ifstream in(path);
@@ -80,9 +86,27 @@ inline std::map<std::string, std::string> load_meta(const std::string& path) {
   while (std::getline(in, line)) {
     auto eq = line.find('=');
     if (eq == std::string::npos || line.empty() || line[0] == '#') continue;
-    meta[line.substr(0, eq)] = line.substr(eq + 1);
+    meta[trim(line.substr(0, eq))] = trim(line.substr(eq + 1));
   }
   return meta;
+}
+
+// Required integer meta key: a missing/malformed key reports WHICH key is
+// wrong instead of an uncaught std::invalid_argument from stoi("").
+inline int meta_int(const std::map<std::string, std::string>& meta,
+                    const std::string& key) {
+  auto it = meta.find(key);
+  if (it == meta.end() || it->second.empty()) {
+    std::cerr << "meta file is missing required key '" << key << "'\n";
+    std::exit(2);
+  }
+  try {
+    return std::stoi(it->second);
+  } catch (const std::exception&) {
+    std::cerr << "meta key '" << key << "' is not an integer: '"
+              << it->second << "'\n";
+    std::exit(2);
+  }
 }
 
 inline const Tensor& get(const Weights& w, const std::string& k) {

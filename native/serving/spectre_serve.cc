@@ -15,10 +15,12 @@
 //
 // Concurrency: one detached thread per connection reads requests and
 // enqueues them on a shared DYNAMIC BATCHER — samples from concurrent
-// requests are coalesced (up to --max-batch, or after --batch-timeout-us of
-// the first queued sample) and run through ONE fan-out forward pass, then
-// demuxed back to their connections. A lone client still gets its request
-// executed immediately; concurrent clients amortize the model pass.
+// requests are coalesced (up to --max-batch) and run through ONE fan-out
+// forward pass, then demuxed back to their connections. Continuous
+// batching: requests arriving while a batch computes queue up and form the
+// next batch, so a lone client executes immediately (no artificial wait);
+// --batch-timeout-us optionally adds a bounded coalescing window for
+// burst-heavy clients (default 0 = off).
 // Weights are loaded once, shared read-only.
 //
 // Usage:
@@ -92,7 +94,7 @@ struct Server {
   spectre::Weights weights;
   spectre::Config cfg;
   uint32_t max_batch = 256;
-  int batch_timeout_us = 2000;
+  int batch_timeout_us = 0;
 
   // dynamic batcher state
   mutable std::mutex mu;
@@ -239,10 +241,14 @@ int main(int argc, char** argv) {
     return 2;
   }
   srv.cfg = spectre::Config{
-      std::stoi(meta["img_size"]),    std::stoi(meta["patch_size"]),
-      std::stoi(meta["in_channels"]), std::stoi(meta["num_classes"]),
-      std::stoi(meta["embed_dim"]),   std::stoi(meta["num_encoders"]),
-      std::stoi(meta["num_heads"]),   std::stoi(meta["hidden_dim"]),
+      spectre::meta_int(meta, "img_size"),
+      spectre::meta_int(meta, "patch_size"),
+      spectre::meta_int(meta, "in_channels"),
+      spectre::meta_int(meta, "num_classes"),
+      spectre::meta_int(meta, "embed_dim"),
+      spectre::meta_int(meta, "num_encoders"),
+      spectre::meta_int(meta, "num_heads"),
+      spectre::meta_int(meta, "hidden_dim"),
       meta.count("mix_impl") ? meta["mix_impl"] : "gather"};
   if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
   if (args.count("--batch-timeout-us"))

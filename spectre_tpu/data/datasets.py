@@ -64,16 +64,28 @@ def _load_mnist_idx(data_dir: str, split: str):
 
 def _load_mnist_kaggle_csv(data_dir: str, split: str):
     """Kaggle digit-recognizer format (vit_spectre_mnist.py:85-87): train.csv
-    has a label column + 784 pixels; test.csv has pixels only."""
-    name = "train.csv" if split == "train" else "test.csv"
-    raw = np.loadtxt(os.path.join(data_dir, name), delimiter=",", skiprows=1, dtype=np.float32)
-    if split == "train":
-        labels = raw[:, 0].astype(np.int32)
-        images = raw[:, 1:].reshape(-1, 1, 28, 28) / 255.0
-    else:
-        labels = np.zeros((raw.shape[0],), np.int32)
+    has a label column + 784 pixels; test.csv has pixels only (UNLABELED —
+    it is the submission set).
+
+    Because test.csv carries no labels, evaluation splits come from a 90/10
+    holdout of train.csv (the reference does exactly this,
+    vit_spectre_mnist.py:111 train_test_split) — fabricating zero labels for
+    test.csv would silently corrupt val metrics and best-checkpoint
+    selection. ``split="submission"`` returns the unlabeled test.csv pixels
+    with labels of -1 (repl/mnist_submission.py consumes it)."""
+    if split == "submission":
+        raw = np.loadtxt(os.path.join(data_dir, "test.csv"), delimiter=",",
+                         skiprows=1, dtype=np.float32)
         images = raw.reshape(-1, 1, 28, 28) / 255.0
-    return images, labels
+        return images, np.full((raw.shape[0],), -1, np.int32)
+    raw = np.loadtxt(os.path.join(data_dir, "train.csv"), delimiter=",",
+                     skiprows=1, dtype=np.float32)
+    labels = raw[:, 0].astype(np.int32)
+    images = raw[:, 1:].reshape(-1, 1, 28, 28) / 255.0
+    n_val = max(1, len(images) // 10)
+    if split == "train":
+        return images[:-n_val], labels[:-n_val]
+    return images[-n_val:], labels[-n_val:]
 
 
 def _synthetic(name: str, split: str, seed: int = 0):

@@ -14,11 +14,16 @@ import os
 
 import numpy as np
 
-_LIB_PATHS = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
-                 "libspectre_dataio.so"),
-    os.environ.get("SPECTRE_DATAIO_LIB", ""),
-]
+def _lib_paths():
+    """Candidate shared-library paths, env override FIRST and evaluated
+    lazily (an import-time list would freeze the env var and could never
+    override the default build)."""
+    return [
+        os.environ.get("SPECTRE_DATAIO_LIB", ""),
+        os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                     "build", "libspectre_dataio.so"),
+    ]
+
 
 _lib = None
 
@@ -27,7 +32,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    for p in _LIB_PATHS:
+    for p in _lib_paths():
         if p and os.path.exists(p):
             lib = ctypes.CDLL(os.path.abspath(p))
             lib.dataio_load_cifar100_bin.restype = ctypes.c_int64

@@ -44,7 +44,9 @@ def main(argv=None):
     # submission split: Kaggle test.csv when present, synthetic otherwise
     from spectre_tpu.train.loop import load_sized_dataset
 
-    test_x, _ = load_sized_dataset(config, "test", synthetic=args.synthetic)
+    # "submission" = the UNLABELED Kaggle test.csv (the labeled "test"
+    # split is a train.csv holdout used for validation — datasets.py)
+    test_x, _ = load_sized_dataset(config, "submission", synthetic=args.synthetic)
     transform = make_eval_transform(MNIST_MEAN, MNIST_STD)
 
     @jax.jit

@@ -85,10 +85,19 @@ def _resize_to(img_size: int, *arrays):
 
 
 def load_sized_dataset(config, split: str, synthetic: bool = False):
-    """Dataset loading + model-input-size resize, shared by train/eval/export."""
+    """Dataset loading + model-input-size resize, shared by train/eval/export.
+
+    ``synthetic=True`` is HERMETIC: it bypasses the on-disk search entirely
+    (a "/nonexistent" data_dir sentinel would still fall through to
+    $SPECTRE_DATA_DIR / ./data and silently train on real data)."""
     dataset = getattr(config, "dataset", "mnist")
-    data_dir = "/nonexistent" if synthetic else getattr(config, "data_dir", None)
-    x, y = load_dataset(dataset, split, data_dir=data_dir)
+    if synthetic:
+        from spectre_tpu.data.datasets import _synthetic
+
+        x, y = _synthetic(dataset, split)
+    else:
+        x, y = load_dataset(dataset, split,
+                            data_dir=getattr(config, "data_dir", None))
     return _resize_to(int(config.img_size), x), y
 
 
@@ -112,6 +121,11 @@ def train_from_config(
     mesh = create_mesh(model_parallel=model_parallel)
     n_chips = int(np.prod(mesh.devices.shape))
     batch_size = int(config.batch_size)
+    if batch_size < mesh.devices.shape[0]:
+        raise ValueError(
+            f"batch_size={batch_size} is smaller than the data-parallel "
+            f"device count {mesh.devices.shape[0]} — every device needs at "
+            "least one sample per step")
     # static per-step shapes: batch must divide over the data axis
     batch_size -= batch_size % mesh.devices.shape[0]
 
@@ -151,11 +165,17 @@ def train_from_config(
     n_params = param_count(state.params)
 
     mean, std = _dataset_stats(dataset)
-    augment = augment_fn if augment_fn is not None else make_train_augment(
-        mean, std,
-        jitter=(train_x.shape[1] == 3),
-        degrees=30.0 if dataset == "cifar100" else 15.0,
-    )
+    if augment_fn is not None:
+        augment = augment_fn
+    elif dataset == "mnist":
+        # reference MNIST pipeline is RandomRotation(15) ONLY
+        # (vit_spectre_mnist.py:117-184) — no flip/jitter/blur/erasing
+        augment = make_train_augment(mean, std, hflip=False, jitter=False,
+                                     grayscale_p=0.0, degrees=15.0,
+                                     blur_p=0.0, erasing_p=0.0)
+    else:
+        augment = make_train_augment(mean, std,
+                                     jitter=(train_x.shape[1] == 3))
     eval_transform = make_eval_transform(mean, std)
 
     # augmentation is compiled INTO the train step: one dispatch per step,
@@ -196,7 +216,10 @@ def train_from_config(
 
     best_val = -1.0
     last_val = -1.0
-    total_steps = 0
+    # resume continues the epoch count from the restored step (running the
+    # full config.epochs AGAIN would overtrain past the cosine schedule)
+    start_epoch = int(state.step) // steps_per_epoch
+    total_steps = int(state.step)
     t_train0 = time.time()
     images_seen = 0
     epochs = int(config.epochs)
@@ -211,7 +234,7 @@ def train_from_config(
     val_iter_builder = lambda: BatchIterator(  # noqa: E731
         val_x, val_y, val_local_batch, shuffle=False)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if done:
             break
         epoch_metrics = []

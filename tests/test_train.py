@@ -179,3 +179,35 @@ def test_train_from_config_smoke(tmp_path):
                                checkpoint=False, write_metrics=False)
     assert result.last_val_accuracy >= 0.0
     assert int(result.state.step) == 3
+
+
+def test_resume_continues_epochs_not_restarts(tmp_path):
+    """--resume picks up at the restored epoch: a finished run does ZERO
+    additional steps, and raising config.epochs trains only the delta
+    (round-2 review: the loop previously ran the full config.epochs AGAIN
+    past the exhausted cosine schedule)."""
+    from spectre_tpu.train.loop import train_from_config
+
+    def cfg(epochs):
+        return SimpleNamespace(
+            model="spectre_vit", method="permut_mix", dataset="mnist",
+            img_size=8, patch_size=4, in_channels=1, num_classes=10,
+            embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=24,
+            dropout=0.0, batch_size=512, val_batch_size=512, epochs=epochs,
+            learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+            checkpoint_dir=str(tmp_path), keep_checkpoints=2,
+        )
+
+    r1 = train_from_config(cfg(2), synthetic=True, write_metrics=False)
+    steps_after_2 = int(r1.state.step)
+    assert steps_after_2 > 0
+
+    # same epoch budget + resume: nothing left to do
+    r2 = train_from_config(cfg(2), synthetic=True, resume=True,
+                           write_metrics=False)
+    assert int(r2.state.step) == steps_after_2
+
+    # raised budget: exactly the delta epochs run
+    r3 = train_from_config(cfg(4), synthetic=True, resume=True,
+                           write_metrics=False)
+    assert int(r3.state.step) == 2 * steps_after_2
