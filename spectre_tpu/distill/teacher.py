@@ -301,10 +301,16 @@ def _torch_key_map(flax_params: dict, sd: dict[str, np.ndarray]) -> dict:
             }
             if rest in simple:
                 fk = simple[rest]
-                if rest.endswith(".weight") and "norm" not in rest and "ls" not in rest:
-                    arr = arr.T
                 if rest == "attn.proj.weight" and heads:
-                    arr = arr.T.reshape(heads, -1, arr.shape[0])
+                    # [E_out, E_in] -> flax out kernel [H, Dh, E_out]:
+                    # transpose FIRST so the input dim splits into heads
+                    # (kernel[h, dh, e] must equal W[e, h*Dh+dh]; the shape
+                    # check alone cannot catch a transposed square matrix —
+                    # value-level test in tests/test_distill_rope.py)
+                    e_out = arr.shape[0]
+                    arr = np.ascontiguousarray(arr.T).reshape(heads, -1, e_out)
+                elif rest.endswith(".weight") and "norm" not in rest and "ls" not in rest:
+                    arr = arr.T
             elif rest == "attn.qkv.weight" and E and heads:
                 w = arr.reshape(3, E, E)  # [qkv, out, in] torch layout
                 hd = E // heads
@@ -335,8 +341,9 @@ def import_torch_state_dict(model: DinoVisionTransformer, params, sd: dict):
 
 
 def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0,
-                 variant: str = "v3"):
+                 variant: str = "v3", weights_path: str | None = None):
     """Build (classifier_model, variables). Real weights load from
+    ``weights_path`` (the ``teacher_checkpoint`` config key) or
     $SPECTRE_TEACHER_WEIGHTS (a numpy .npz dump of the torch state_dict);
     otherwise seeded random init (hermetic fallback — this image has no
     network egress to fetch DINOv3 checkpoints). ``variant='v3'`` (default,
@@ -347,7 +354,7 @@ def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0,
     x = jnp.zeros((1, 3, img_size, img_size))
     variables = clf.init(jax.random.key(seed), x)
 
-    path = os.environ.get("SPECTRE_TEACHER_WEIGHTS")
+    path = weights_path or os.environ.get("SPECTRE_TEACHER_WEIGHTS")
     if path and os.path.exists(path):
         sd = dict(np.load(path))
         bb_params = variables["params"]["backbone"]

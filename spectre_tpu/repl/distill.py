@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--teacher-size", type=int, default=224)
+    p.add_argument("--no-checkpoint", action="store_true")
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -33,7 +34,8 @@ def main(argv=None):
     config = apply_overrides(parse_config(args.config), args.set)
     state, metrics = distill_from_config(
         config, max_steps=args.steps, synthetic=args.synthetic,
-        teacher_img_size=args.teacher_size)
+        teacher_img_size=args.teacher_size,
+        checkpoint=not args.no_checkpoint)
     print(f"distill done: step {int(state.step)} loss {metrics['loss']:.4f} "
           f"(kd {metrics['loss_dist']:.4f} / ce {metrics['loss_ce']:.4f})")
     return state, metrics

@@ -35,7 +35,8 @@ def main(argv=None):
     img = _test_image(64)
     ll, highs = haar_dwt2d_multilevel(jnp.asarray(img), args.levels)
 
-    fig, axes = plt.subplots(args.levels, 4, figsize=(12, 3 * args.levels))
+    fig, axes = plt.subplots(args.levels, 4, figsize=(12, 3 * args.levels),
+                             squeeze=False)
     approx = jnp.asarray(img)
     for lvl in range(args.levels):
         lh, hl, hh = highs[lvl]

@@ -53,7 +53,11 @@ def export_from_config(config, checkpoint: str | None = None,
 
         tx = make_optimizer(config, steps_per_epoch=1)
         state = create_train_state(model, tx, jax.numpy.asarray(x))
-        state = CheckpointManager(checkpoint).restore(state)
+        mgr = CheckpointManager(checkpoint)
+        # deployment restores the BEST-metric step when one is recorded
+        # (the reference exports model_best.pt, export.py:58-59), falling
+        # back to latest
+        state = mgr.restore(state, step=mgr.best_step or mgr.latest_step)
         variables = state.variables()
 
     exported = export_forward(model, variables, jax.numpy.asarray(x))

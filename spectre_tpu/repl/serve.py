@@ -25,7 +25,8 @@ _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="spectre_tpu/configs/spectre_vit_cifar100.py")
-    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (best step)")
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint dir (serves the best-metric step, falling back to latest)")
     p.add_argument("--port", type=int, default=7788)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--export-dir", default=None,

@@ -188,3 +188,28 @@ def test_v3_state_dict_import_with_dinov3_key_layout():
     assert not np.allclose(np.asarray(before), np.asarray(after))
     # v3 tree has no pos_embed to miss
     assert "pos_embed" not in new_params
+
+
+def test_import_out_projection_values_not_just_shape():
+    """The [E,E] out-projection is square, so a transposed import passes
+    every shape check — this locks the VALUES: kernel[h,dh,e] == W[e, h*dh+dh']
+    (round-2 review found the import applying W instead of W.T, silently
+    corrupting any real-weight teacher)."""
+    model = DinoVisionTransformer(img_size=8, patch_size=4, embed_dim=E,
+                                  depth=1, num_heads=H, num_registers=REG,
+                                  variant="v3")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 8, 8)))
+    rng = np.random.default_rng(9)
+    w_proj = rng.standard_normal((E, E)).astype(np.float32)
+    sd = {"blocks.0.attn.proj.weight": w_proj}
+    new_params, _ = import_torch_state_dict(model, variables["params"], sd)
+    got = np.asarray(new_params["block_0"]["attn"]["out"]["kernel"])
+    dh = E // H
+    want = w_proj.T.reshape(H, dh, E)
+    np.testing.assert_array_equal(got, want)
+
+    # end-to-end: a torch Linear applied via the imported kernel must equal
+    # x @ W.T + b
+    x = rng.standard_normal((2, E)).astype(np.float32)
+    y_flax = np.einsum("bhd,hde->be", x.reshape(2, H, dh), got)
+    np.testing.assert_allclose(y_flax, x @ w_proj.T, atol=1e-5)
