@@ -13,9 +13,10 @@ in ``DinoClassifier`` whose forward takes
 - ``import_torch_state_dict``: maps a torch DINOv2/v3 ``state_dict`` (read
   with numpy from a .pt/.npz dump) onto the flax param tree, so real weights
   drop in when present on disk.
-- ``load_teacher``: weights from $SPECTRE_TEACHER_WEIGHTS if set, otherwise a
-  seeded random teacher (the distillation *machinery* — dual views, KD loss,
-  frozen-teacher step — is exercised and tested either way).
+- ``load_teacher``: weights from the ``teacher_checkpoint`` config key or
+  $SPECTRE_TEACHER_WEIGHTS, otherwise a seeded random teacher (the
+  distillation *machinery* — dual views, KD loss, frozen-teacher step — is
+  exercised and tested either way).
 """
 
 from __future__ import annotations
