@@ -79,6 +79,8 @@ def main():
     from spectre_tpu.models import build_model
     from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
 
+    from spectre_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+
     cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
     cfg.batch_size = BENCH_BATCH
     batch = int(cfg.batch_size)
@@ -91,22 +93,34 @@ def main():
     x_init = jnp.zeros((batch, cfg.in_channels, cfg.img_size, cfg.img_size))
     state = create_train_state(model, tx, x_init, seed=0)
 
+    # the per-chip division below is only honest if the step actually runs
+    # data-parallel over every chip: shard the batch, replicate the state
+    # (exactly the train loop's layout) — on 1 chip this is a no-op
+    mesh = create_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, x_init.shape).astype(np.float32))
-    labels = jnp.asarray(rng.integers(0, cfg.num_classes, batch).astype(np.int32))
+    sharded = shard_batch(mesh, {
+        "image": rng.uniform(0, 1, x_init.shape).astype(np.float32),
+        "label": rng.integers(0, cfg.num_classes, batch).astype(np.int32),
+    })
+    images, labels = sharded["image"], sharded["label"]
 
     augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
     # augmentation compiles into the step: ONE dispatch per iteration
     train_step = make_train_step(model, augment_fn=augment)
 
-    # FLOPs of the exact compiled step
-    ca = train_step.lower(state, images, labels).compile().cost_analysis()
+    # compile ONCE (remote compiles are minutes-scale); the AOT executable
+    # both reports FLOPs and runs the timed loop
+    compiled = train_step.lower(state, images, labels).compile()
+    ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops_per_step = float(ca.get("flops", float("nan")))
+    step = compiled
 
     for _ in range(WARMUP):
-        state, metrics = train_step(state, images, labels)
+        state, metrics = step(state, images, labels)
     np.asarray(metrics["loss"])
 
     # two-point slope timing: both runs end with the same constant D2H
@@ -116,11 +130,16 @@ def main():
     # fetch constant (a significantly negative constant means time is NOT
     # linear in ITERS — the round-1 lying-clock failure mode), and the
     # physics gate below (MFU <= 100%).
-    state, dt_short = _timed(train_step, state, images, labels, ITERS_SHORT)
+    # symmetric best-of-REPS for BOTH points: a one-off stall in a single
+    # short run would bias the slope low (over-reporting throughput)
+    best_short = float("inf")
     best_dt = float("inf")
     for _ in range(REPS):
-        state, dt = _timed(train_step, state, images, labels, ITERS)
+        state, dt = _timed(step, state, images, labels, ITERS_SHORT)
+        best_short = min(best_short, dt)
+        state, dt = _timed(step, state, images, labels, ITERS)
         best_dt = min(best_dt, dt)
+    dt_short = best_short
     slope = (best_dt - dt_short) / (ITERS - ITERS_SHORT)  # s per step
     fetch_const = dt_short - ITERS_SHORT * slope
     if slope <= 0 or fetch_const < -0.15 * best_dt:

@@ -7,7 +7,12 @@
 // — this is the serving half of that capability).
 //
 // Protocol (little-endian):
-//   request : "SPQ1" | u32 batch | batch*C*H*W float32 pixels (NCHW)
+//   request : "SPQ2" | u32 batch | u32 C | u32 H | u32 W
+//             | batch*C*H*W float32 pixels (NCHW)
+//             ("SPQ1" | u32 batch | payload is accepted for compatibility,
+//             framed by the server's meta — SPQ2's explicit dims let the
+//             server REJECT a shape-mismatched client instead of silently
+//             computing logits on misaligned pixels)
 //   response: "SPR1" | u32 batch | u32 num_classes | batch*classes float32
 //   error   : "SPER" | u32 len | len bytes of message
 // Connections are persistent: a client may send any number of requests; the
@@ -158,12 +163,34 @@ struct Server {
         (size_t)cfg.in_channels * cfg.img_size * cfg.img_size;
     char magic[4];
     while (read_full(fd, magic, 4)) {
-      if (std::strncmp(magic, "SPQ1", 4) != 0) {
+      const bool v2 = std::strncmp(magic, "SPQ2", 4) == 0;
+      if (!v2 && std::strncmp(magic, "SPQ1", 4) != 0) {
         send_error(fd, "bad magic");
         break;
       }
       uint32_t batch = 0;
       if (!read_full(fd, &batch, 4)) break;
+      uint32_t dims[3] = {(uint32_t)cfg.in_channels, (uint32_t)cfg.img_size,
+                          (uint32_t)cfg.img_size};
+      if (v2 && !read_full(fd, dims, 12)) break;
+      const size_t req_elems = (size_t)dims[0] * dims[1] * dims[2];
+      if (req_elems != img_elems) {
+        // drain the (client-framed) payload, reject, keep the connection
+        std::vector<char> sink(1 << 16);
+        size_t left = sizeof(float) * req_elems * batch;
+        bool ok = batch <= (1u << 20);
+        while (ok && left > 0) {
+          size_t chunk = std::min(left, sink.size());
+          ok = read_full(fd, sink.data(), chunk);
+          left -= chunk;
+        }
+        send_error(fd, "input shape mismatch: expected " +
+                           std::to_string(cfg.in_channels) + "x" +
+                           std::to_string(cfg.img_size) + "x" +
+                           std::to_string(cfg.img_size));
+        if (!ok) break;
+        continue;
+      }
       if (batch == 0 || batch > max_batch) {
         // drain the request payload BEFORE replying, then keep the
         // connection alive: closing with unread data in the receive queue

@@ -28,22 +28,27 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                   help="cpu (default; virtual devices for the CI harness) "
+                        "or tpu for a REAL multi-host validation run")
     p.add_argument("--train-loop", action="store_true",
                    help="run train_from_config (full loop: sliced data, "
                         "prefetch, eval, metrics) instead of the bare step")
     args = p.parse_args(argv)
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            f"{flags} --xla_force_host_platform_device_count={args.local_devices}"
-        ).strip()
+    if args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={args.local_devices}"
+            ).strip()
 
     import jax
 
-    # this image's sitecustomize registers the TPU plugin at interpreter
-    # start; the env var alone is too late — force through jax.config
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        # this image's sitecustomize registers the TPU plugin at interpreter
+        # start; the env var alone is too late — force through jax.config
+        jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
@@ -61,7 +66,8 @@ def main(argv=None):
 
     assert jax.process_count() == args.num_processes
     n_global = jax.device_count()
-    assert n_global == args.num_processes * args.local_devices
+    if args.platform == "cpu":
+        assert n_global == args.num_processes * args.local_devices
 
     if args.train_loop:
         # the REAL training loop end-to-end across processes: per-process

@@ -3,7 +3,9 @@
 The daemon (native/serving/spectre_serve.cc) serves an exported .stw model
 over a length-prefixed TCP protocol:
 
-    request : b"SPQ1" | u32 batch | batch*C*H*W float32 (NCHW)
+    request : b"SPQ2" | u32 batch | u32 C | u32 H | u32 W | float32 pixels
+              (the explicit dims let the server reject a shape-mismatched
+              client instead of silently mis-framing the stream)
     response: b"SPR1" | u32 batch | u32 classes | float32 logits
     error   : b"SPER" | u32 len | message
 
@@ -40,23 +42,29 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
          "--weights", os.path.join(export_dir, "weights.stw"),
          "--meta", os.path.join(export_dir, "meta.txt"),
          "--port", str(port), "--max-batch", str(max_batch)],
-        stdout=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE)
+    # read the RAW pipe fd: select on a buffered TextIOWrapper is unsound
+    # (readline can buffer bytes past the returned line, after which select
+    # sees an empty pipe even though LISTENING is already in the buffer)
+    fd = proc.stdout.fileno()
     deadline = time.time() + timeout
-    line = ""
+    buf = b""
     while time.time() < deadline:
-        # select enforces the timeout even while the daemon prints nothing
-        # (a blocking readline would hang past the deadline)
-        ready, _, _ = select.select([proc.stdout], [], [],
+        ready, _, _ = select.select([fd], [], [],
                                     max(0.0, deadline - time.time()))
         if not ready:
             break
-        line = proc.stdout.readline()
-        if line.startswith("LISTENING"):
-            return proc, int(line.split()[1])
-        if proc.poll() is not None and not line:
-            break
+        chunk = os.read(fd, 4096)
+        if not chunk:
+            break  # EOF: daemon exited
+        buf += chunk
+        for raw in buf.split(b"\n"):
+            line = raw.decode(errors="replace")
+            if line.startswith("LISTENING"):
+                return proc, int(line.split()[1])
     proc.kill()
-    raise RuntimeError(f"spectre_serve did not come up (last line: {line!r})")
+    raise RuntimeError(
+        f"spectre_serve did not come up (output: {buf[-500:]!r})")
 
 
 class SpectreClient:
@@ -67,8 +75,11 @@ class SpectreClient:
     def infer(self, images: np.ndarray) -> np.ndarray:
         """images: [B, C, H, W] float32 -> logits [B, num_classes]."""
         x = np.ascontiguousarray(images, dtype=np.float32)
-        batch = x.shape[0]
-        self._sock.sendall(b"SPQ1" + struct.pack("<I", batch) + x.tobytes())
+        if x.ndim != 4:
+            raise ValueError(f"images must be [B, C, H, W]; got {x.shape}")
+        batch, c, h, w = x.shape
+        self._sock.sendall(b"SPQ2" + struct.pack("<IIII", batch, c, h, w)
+                           + x.tobytes())
         head = self._recv(4)
         if head == b"SPER":
             (n,) = struct.unpack("<I", self._recv(4))

@@ -8,15 +8,17 @@ the default given a pinned key; these helpers cover the remaining switches:
   eagerly on NaN and points at the producing primitive (the analogue of
   torch.autograd.detect_anomaly).
 - ``deterministic_mode`` — pins matmul precision to highest (no TF32-style
-  fast paths) and disables nondeterministic reduction orders via the XLA
-  deterministic-ops flag.
-- ``check_finite``       — assert a pytree is NaN/Inf-free inside jit
-  (uses jax.debug so it works under tracing).
+  fast paths). On TPU, jitted programs are already run-to-run deterministic
+  given fixed inputs/keys; there is no GPU-style atomics nondeterminism to
+  disable.
+- ``check_finite``       — in-jit NaN/Inf detector. It CANNOT raise from
+  inside a traced computation; it prints the offending leaf path and
+  returns a boolean scalar ("all finite") the caller can assert on after a
+  host sync. For hard failure at the producing op, use
+  ``enable_nan_checks`` (jax_debug_nans).
 """
 
 from __future__ import annotations
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -27,20 +29,35 @@ def enable_nan_checks(on: bool = True) -> None:
 
 
 def deterministic_mode(on: bool = True) -> None:
+    # matmul precision is the only live knob on TPU: reductions in jitted
+    # programs are already deterministic for fixed inputs. (A round-4 review
+    # removed a --xla_gpu_deterministic_ops env mutation here: the flag is
+    # GPU-only and XLA_FLAGS is read at backend init, so setting it after
+    # import was a silent no-op.)
     jax.config.update("jax_default_matmul_precision", "highest" if on else None)
-    flags = os.environ.get("XLA_FLAGS", "")
-    flag = "--xla_gpu_deterministic_ops=true"
-    if on and flag not in flags:
-        os.environ["XLA_FLAGS"] = f"{flags} {flag}".strip()
 
 
-def check_finite(tree, name: str = "tree") -> None:
-    """Inside-jit finite check: prints the offending leaf path on failure."""
+def check_finite(tree, name: str = "tree"):
+    """Inside-jit finite check.
+
+    Prints the offending leaf path when NaN/Inf appears and returns a
+    boolean scalar (True = all finite) so callers can enforce on the host:
+
+        ok = check_finite(grads, "grads")      # inside the jitted step
+        ...
+        assert bool(ok_host)                    # after device_get
+
+    A traced computation cannot raise; for a hard stop at the producing
+    primitive use ``enable_nan_checks`` instead.
+    """
+    all_ok = jnp.bool_(True)
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         label = f"{name}{jax.tree_util.keystr(path)}"
-        bad = jnp.logical_not(jnp.all(jnp.isfinite(leaf)))
+        ok = jnp.all(jnp.isfinite(leaf))
         jax.lax.cond(
-            bad,
+            jnp.logical_not(ok),
             lambda: jax.debug.print("NON-FINITE values in " + label),
             lambda: None,
         )
+        all_ok = jnp.logical_and(all_ok, ok)
+    return all_ok

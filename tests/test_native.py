@@ -10,29 +10,14 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+from conftest import tiny_export_cfg as _cfg  # noqa: E402
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-BUILD = os.path.join(REPO, "native", "build")
 
 
 @pytest.fixture(scope="module")
-def native_built():
-    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
-                       capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr
-    return BUILD
-
-
-def _cfg(**over):
-    cfg = SimpleNamespace(
-        model="spectre_vit", method="permut_mix", dataset="mnist",
-        img_size=8, patch_size=4, in_channels=3, num_classes=10,
-        embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=32,
-        dropout=0.0, batch_size=4, epochs=1, learning_rate=1e-3,
-        random_seed=0, compute_dtype="float32", param_dtype="float32",
-    )
-    for k, v in over.items():
-        setattr(cfg, k, v)
-    return cfg
+def native_built(native_build):
+    return native_build
 
 
 @pytest.mark.parametrize("mix_impl", ["gather", "structured"])

@@ -131,8 +131,9 @@ def test_fused_linear_all_grads_nonidentity(rng):
 
 
 def test_fused_linear_bwd_has_no_forward_gemm_recompute():
-    """The backward HLO must contain exactly the two backward GEMMs (dW, dx)
-    plus the pool matmul-free path — not a re-run of the forward x@w."""
+    """The backward must contain exactly the two backward GEMMs (dW, dx) —
+    a regression that re-runs the forward x@w (round-1's jax.vjp-based
+    backward) would add a third dot_general (or a second pallas_call)."""
     x = jnp.zeros((4, 16), jnp.float32)
     w = jnp.zeros((16, 16), jnp.float32)
     b = g = jnp.zeros(16, jnp.float32)
@@ -142,8 +143,11 @@ def test_fused_linear_bwd_has_no_forward_gemm_recompute():
                                             interpret=True) ** 2)
 
     jaxpr = str(jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(x, w))
-    # one forward pallas_call; backward contains only dot_generals
+    # one forward pallas_call whose interpret-mode body contributes the
+    # single in-kernel forward GEMM, plus exactly dW and dx in the backward
+    # = 3 dot_generals total; a forward-recompute regression adds a fourth
     assert jaxpr.count("pallas_call") == 1
+    assert jaxpr.count("dot_general") == 3, jaxpr.count("dot_general")
 
 
 def test_fwht_pallas_gradients(rng):

@@ -15,30 +15,13 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
-REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-
-
-def _cfg(**over):
-    cfg = SimpleNamespace(
-        model="spectre_vit", method="permut_mix", dataset="mnist",
-        img_size=8, patch_size=4, in_channels=3, num_classes=10,
-        embed_dim=16, num_encoders=2, num_heads=2, hidden_dim=32,
-        dropout=0.0, batch_size=4, epochs=1, learning_rate=1e-3,
-        random_seed=0, compute_dtype="float32", param_dtype="float32",
-    )
-    for k, v in over.items():
-        setattr(cfg, k, v)
-    return cfg
+from conftest import tiny_export_cfg as _cfg  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def served(tmp_path_factory):
+def served(tmp_path_factory, native_build):
     from spectre_tpu.repl.export import export_from_config
     from spectre_tpu.serving import start_server
-
-    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
-                       capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr
 
     outdir = str(tmp_path_factory.mktemp("serve_export"))
     export_from_config(_cfg(), outdir=outdir, batch=4)
@@ -141,3 +124,20 @@ def test_serving_rejects_bad_magic_and_oversized_batch(served):
     with SpectreClient(port=port) as c:
         with pytest.raises(RuntimeError, match="batch out of range"):
             c.infer(np.zeros((999, 3, 8, 8), np.float32))
+
+
+def test_serving_rejects_shape_mismatch_and_connection_survives(served):
+    """SPQ2 carries the input dims: a client built for a different model
+    (e.g. 224x224) gets a protocol error naming the expected shape instead
+    of silently wrong logits, and the connection stays usable."""
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    x_ok = np.fromfile(f"{outdir}/example_input.f32", np.float32).reshape(4, 3, 8, 8)
+    want = np.fromfile(f"{outdir}/example_logits.f32", np.float32).reshape(4, 10)
+    with SpectreClient(port=port) as c:
+        with pytest.raises(RuntimeError, match="shape mismatch.*3x8x8"):
+            c.infer(np.zeros((1, 3, 32, 32), np.float32))
+        # same connection still serves valid requests afterwards
+        got = c.infer(x_ok)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
