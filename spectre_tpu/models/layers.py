@@ -26,6 +26,7 @@ from spectre_tpu.ops import (
     make_mix_tables,
     make_structured_tables,
     next_pow2,
+    perm_rows_t,
     permut_mix,
     permut_mix_fused,
     permut_mix_fused_t,
@@ -120,6 +121,72 @@ class TokenMajorMixLinear(nn.Module):
         return h.transpose(1, 0, 2)  # [B, N, O]
 
 
+class FoldedMixLinear(nn.Module):
+    """Exact-semantics mix + projection with the signs and pool residual
+    FOLDED into per-token weights (the round-3 fast path; mix_impl="folded").
+
+    The reference hot path (layers.py:68-73 then 85-101) is
+        mixed = (x.flat[perms] * signs).view(B, N, E*H)
+        out   = GELU(LN(mixed @ W + b)) + grouped_mean(mixed)
+    Everything between the gather and the GEMM is LINEAR and depends only on
+    the (fixed) tables, so it reassociates onto the weights at trace time:
+
+        Wp[n] = diag(signs_n) @ W          (per-token projection weights)
+        pool  = einsum(gathered, signs/g)  (per-token grouped sign-mean)
+
+    which leaves the activation path as: one token-major flat row gather
+    (measured ~970 GiB/s — benchmarks/mix_decompose.py) + one batched GEMM.
+    The two [B, H, d] sign-multiply passes (~3.3 ms/layer each at the
+    flagship config) and their backward twins vanish; the backward gather is
+    the flat inverse-table formulation (ops/fused_mix.py::perm_rows_t).
+
+    Identical math, params (kernel/bias/ln_scale/ln_bias) and buffers
+    (mix_tables) as the other gather impls — checkpoints interchange
+    (asserted in tests/test_folded_mix.py).
+    """
+
+    features: int
+    token_dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, perms: jnp.ndarray,
+                 signs2: jnp.ndarray) -> jnp.ndarray:
+        B, N, E = x.shape
+        H = perms.shape[0]
+        in_features = E * H
+        o = self.features
+        w = self.param("kernel", torch_kernel_init,
+                       (in_features, o), self.param_dtype)
+        b = self.param("bias", torch_bias_init(in_features), (o,),
+                       self.param_dtype)
+        gamma = self.param("ln_scale", nn.initializers.ones, (o,),
+                           self.param_dtype)
+        beta = self.param("ln_bias", nn.initializers.zeros, (o,),
+                          self.param_dtype)
+        dt = self.dtype
+        xt = x.astype(dt).transpose(1, 2, 0).reshape(N * E, B)  # [d, B]
+        g = perm_rows_t(xt, perms)  # [H*d, B] == [N*in_features, B] stream
+        g4 = g.reshape(N, in_features, B)
+        s4 = signs2.astype(dt).reshape(N, in_features)  # same stream order
+        wp = s4[:, :, None] * w.astype(dt)[None]  # [N, in, O] folded weights
+        y = jnp.einsum("neb,neo->nbo", g4, wp) + b.astype(dt)
+        if in_features % o == 0:
+            grp = in_features // o
+            # pool residual with the signs folded into the averaging weights
+            pool = jnp.einsum("nuvb,nuv->nbu",
+                              g4.reshape(N, o, grp, B),
+                              s4.reshape(N, o, grp) / grp)
+        else:
+            from spectre_tpu.ops import adaptive_pool_matrix
+            pm = adaptive_pool_matrix(in_features, o, dt)  # [in, O]
+            pool = jnp.einsum("neb,neo->nbo", g4, s4[:, :, None] * pm[None])
+        from spectre_tpu.ops import gelu_exact, layer_norm
+        h = gelu_exact(layer_norm(y, gamma.astype(dt), beta.astype(dt))) + pool
+        return h.transpose(1, 0, 2)  # [B, N, O]
+
+
 class MHPermutMix(nn.Module):
     """Multi-head sign-flip + permutation mixing (reference layers.py:53-73).
 
@@ -165,6 +232,20 @@ class MHPermutMix(nn.Module):
         token_major = self.token_major or impl == "gather_tm"
         if impl in ("gather_unfused", "gather_tm"):
             impl = "gather"
+
+        if impl == "folded":
+            def init_tables():
+                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+
+            tables = self.variable("buffers", "mix_tables", init_tables)
+            perms, signs = tables.value
+            signs2 = signs[0] if signs.ndim == 3 else signs
+            return FoldedMixLinear(self.out_channels, self.token_dim,
+                                   dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="linear")(
+                x.reshape(x.shape[0], self.token_dim, self.embed_dim),
+                perms, signs2)
 
         if impl == "gather" and token_major:
             def init_tables():

@@ -49,14 +49,21 @@ def _fwd(x2d, perms, signs2):
 
 def _bwd(res, g):
     perms, signs2 = res
+    h, d = perms.shape
     # sign-multiply BEFORE the gather. The multiply-after-gather variant
     # (permute signs through inv, fuse the multiply into the head-sum) was
     # tried and MEASURED SLOWER (245.9 vs 236.6 ms/step): the gather output
     # lands B-minor, so the [H, d]-broadcast multiply strides badly there,
     # while g*signs runs on the natural [B, H, d] layout.
-    gs = g * signs2  # [B, H, d]
+    gs = (g * signs2).reshape(g.shape[0], h * d)  # [B, H*d]
+    # FLAT inverse gather: dx[b, j] = sum_h gs[b, h*d + inv[h, j]].
+    # One flat take + reduce lowers ~1.5x faster than the per-head
+    # take_along_axis it replaces (measured: benchmarks/mix_decompose.py —
+    # XLA's flat-gather path beats its take_along_axis lowering).
     inv = jnp.argsort(perms, axis=-1)  # inverse permutations
-    dx = jnp.take_along_axis(gs, inv[None], axis=2).sum(axis=1)  # [B, d]
+    offs = (jnp.arange(h, dtype=inv.dtype) * d)[:, None]
+    idx = (inv + offs).T.reshape(-1)  # [d*H]: row j*H+h -> h*d + inv[h, j]
+    dx = jnp.take(gs, idx, axis=1).reshape(-1, d, h).sum(axis=2)  # [B, d]
     return (dx,
             np.zeros(perms.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(signs2))
@@ -88,12 +95,56 @@ def _fwd_t(xt, perms, signs2):
 def _bwd_t(res, g):
     perms, signs2 = res
     h, d = perms.shape
-    gs = g.reshape(h, d, -1) * signs2[:, :, None]
-    inv = jnp.argsort(perms, axis=-1)
-    dxt = jnp.take_along_axis(gs, inv[:, :, None], axis=1).sum(axis=0)  # [d, B]
-    return (dxt,
+    gs = (g.reshape(h, d, -1) * signs2[:, :, None]).reshape(h * d, -1)
+    dxt = jnp.take(gs, _inverse_row_table(perms), axis=0)
+    return (dxt.reshape(d, h, -1).sum(axis=1),  # [d, B]
             np.zeros(perms.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(signs2))
 
 
 permut_mix_fused_t.defvjp(_fwd_t, _bwd_t)
+
+
+def _inverse_row_table(perms: jnp.ndarray) -> jnp.ndarray:
+    """[d*H] flat row-index table for the inverse of the multi-head row
+    gather: entry j*H + h is ``h*d + inv[h, j]`` (perms[h, inv[h, j]] = j).
+
+    Token-major rows of [x; d, B] move at measured ~970 GiB/s through XLA's
+    flat-gather path (benchmarks/mix_decompose.py) — the inverse gather is
+    expressed the same flat way, followed by a [d, H, B] head-sum reduce.
+    """
+    h, d = perms.shape
+    inv = jnp.argsort(perms, axis=-1)
+    offs = (jnp.arange(h, dtype=inv.dtype) * d)[:, None]
+    return (inv + offs).T.reshape(-1)
+
+
+@jax.custom_vjp
+def perm_rows_t(xt: jnp.ndarray, perms: jnp.ndarray) -> jnp.ndarray:
+    """Sign-FREE multi-head row permutation, token-major: [d, B] -> [H*d, B].
+
+    Row ``h*d + i`` of the output is ``xt[perms[h, i], :]``. This is the mix
+    op with the +-1 signs REMOVED — the folded formulation
+    (models/layers.py::FoldedMixLinear) multiplies the signs into the
+    projection/pool weights instead (they are diagonal-linear, so the fold is
+    exact), which deletes two full [B, H, d] HBM passes per layer (fwd sign
+    multiply + bwd sign multiply) from the activation path.
+
+    Reference semantics context: layers.py:68-73 — x[:, perms] * signs; here
+    the gather half only.
+    """
+    return jnp.take(xt, perms.reshape(-1), axis=0)
+
+
+def _fwd_rows(xt, perms):
+    return perm_rows_t(xt, perms), perms
+
+
+def _bwd_rows(perms, g):
+    h, d = perms.shape
+    dxt = jnp.take(g, _inverse_row_table(perms), axis=0)  # [d*H, B]
+    return (dxt.reshape(d, h, -1).sum(axis=1),
+            np.zeros(perms.shape, dtype=jax.dtypes.float0))
+
+
+perm_rows_t.defvjp(_fwd_rows, _bwd_rows)
