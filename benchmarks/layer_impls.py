@@ -52,7 +52,7 @@ def main(argv=None):
         # grads wrt params AND input: the full training-time backward
         grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
         t_f = _time_fn(fwd, v, x, iters=args.iters)
-        t_g = _time_fn(grad, v, x, iters=args.iters)
+        t_g = _time_fn(grad, v["params"], x, iters=args.iters)
         print(f"  {impl:12s}: fwd {t_f*1e3:7.3f} ms | fwd+bwd {t_g*1e3:7.3f} ms")
 
 

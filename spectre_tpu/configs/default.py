@@ -39,6 +39,11 @@ val_batch_size = 512
 dropout = 0.1
 activation = "gelu"
 method = "permut_mix"         # mixer: permut_mix|fft_bare|fft_mh|dwt_embed|dwt_token|attention
-mix_impl = "gather"           # permut-mix impl: "gather" (exact reference
-                              # semantics) | "structured" (tile-structured
-                              # orthogonal mix, MXU-native fast path)
+mix_impl = "folded"           # permut-mix impl: "folded" (exact reference
+                              # semantics, signs/pool folded into per-token
+                              # projection weights — measured fastest full
+                              # train step: 214.5 vs 250.4 ms/step gather at
+                              # B=1024 on v5e; DEFAULT) | "gather" (simplest
+                              # exact impl) | "structured" (tile-structured
+                              # orthogonal mix, different math) | "gather_tm"
+                              # | "gather_unfused" (parity baselines)

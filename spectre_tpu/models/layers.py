@@ -197,9 +197,16 @@ class MHPermutMix(nn.Module):
 
     ``impl`` (the config's ``mix_impl`` knob — all gather variants share one
     param/buffer tree and identical numerics, so checkpoints interchange):
+    - "folded":          exact reference semantics, fastest schedule:
+                         token-major flat row gather with the signs and pool
+                         residual folded into per-token projection weights
+                         (FoldedMixLinear above). Config DEFAULT — 214.5 vs
+                         250.4 ms/step gather on the flagship train step
+                         (B=1024, v5e).
     - "gather":          exact reference semantics through the custom-VJP op
                          (inverse-permutation backward; the XLA autodiff
-                         backward is a 20 ms/layer scatter-add). DEFAULT.
+                         backward is a 20 ms/layer scatter-add). Module-level
+                         default (simplest exact impl).
     - "gather_unfused":  plain XLA autodiff path (the parity baseline).
     - "gather_tm":       token-major transposed formulation
                          (TokenMajorMixLinear; measured a wash at flagship

@@ -185,8 +185,8 @@ def cmd_train(args):
     from spectre_tpu.repl.train import apply_overrides
     from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
 
-    for use_pallas, mix_impl in itertools.product([False, True],
-                                                  ["gather", "structured"]):
+    for use_pallas, mix_impl in itertools.product(
+            [False, True], ["gather", "folded", "structured"]):
         cfg = apply_overrides(parse_config(args.config), args.set)
         cfg.use_pallas, cfg.mix_impl = use_pallas, mix_impl
         model = build_model(cfg)
