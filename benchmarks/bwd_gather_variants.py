@@ -1,0 +1,81 @@
+"""Backward inverse-gather formulations for the folded mix, microbenched.
+
+The folded-mix backward is dxt[j] = sum_h g[h*d + inv[h, j]] with g the
+[H*d, B] cotangent stream (1.09 GB bf16 at the flagship config). The flat
+single-take formulation reads 2 KB rows randomly across the whole 1.09 GB
+footprint — profiled at ~200 GB/s effective (plots/layer_folded.csv,
+fusion.1: 10.8 ms/layer), while the FORWARD flat gather reads randomly
+within a 68 MB source at ~970 GB/s (benchmarks/mix_decompose.py). The
+hypothesis this harness tests: the gap is source-footprint locality (HBM
+row-buffer hits), so re-expressing the backward as H per-head gathers —
+each reading randomly within one 68 MB head slice — plus one 16-way add
+should approach forward bandwidth.
+
+Run: PYTHONPATH=/root/.axon_site:. python benchmarks/bwd_gather_variants.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectre_tpu.repl.perf import _time_fn
+
+
+def make_tables(rng, h, d):
+    perms = np.stack([rng.permutation(d) for _ in range(h)]).astype(np.int32)
+    inv = np.argsort(perms, axis=-1).astype(np.int32)
+    return jnp.asarray(perms), jnp.asarray(inv)
+
+
+def flat(g, inv, h, d):
+    """Current production formulation (ops/fused_mix.py::_bwd_rows)."""
+    offs = (jnp.arange(h, dtype=inv.dtype) * d)[:, None]
+    idx = (inv + offs).T.reshape(-1)
+    return jnp.take(g, idx, axis=0).reshape(d, h, -1).sum(axis=1)
+
+
+def per_head(g, inv, h, d):
+    """H small-footprint gathers (68 MB source each) + one n-ary add."""
+    gh = g.reshape(h, d, -1)
+    acc = jnp.take(gh[0], inv[0], axis=0)
+    for i in range(1, h):
+        acc = acc + jnp.take(gh[i], inv[i], axis=0)
+    return acc
+
+
+def per_head_stacked(g, inv, h, d):
+    """vmap'd per-head take then one reduce (lets XLA schedule the adds)."""
+    gh = g.reshape(h, d, -1)
+    out = jax.vmap(lambda gg, ii: jnp.take(gg, ii, axis=0))(gh, inv)
+    return out.sum(axis=0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--d", type=int, default=33280)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args(argv)
+    h, d, b = args.heads, args.d, args.batch
+    rng = np.random.default_rng(0)
+    _, inv = make_tables(rng, h, d)
+    g = jnp.asarray(rng.standard_normal((h * d, b)), jnp.bfloat16)
+    bytes_min = (g.nbytes + d * b * 2)  # read stream once + write result
+    print(f"g [H*d={h*d}, B={b}] bf16 = {g.nbytes / 2**30:.2f} GiB; "
+          f"minimal traffic {bytes_min / 2**30:.2f} GiB")
+    for name, fn in [("flat", flat), ("per_head", per_head),
+                     ("per_head_stacked", per_head_stacked)]:
+        f = jax.jit(functools.partial(fn, h=h, d=d))
+        t = _time_fn(f, g, inv, iters=args.iters)
+        print(f"  {name:18s}: {t * 1e3:7.3f} ms  "
+              f"({bytes_min / t / 2**30:7.1f} GiB/s effective)")
+
+
+if __name__ == "__main__":
+    main()
