@@ -1,0 +1,50 @@
+"""Per-op profile of the full flagship train step (bench.py's exact program).
+
+Writes the chainable-parser CSV the judge-facing BASELINE.md cites.
+Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/train_step_profile.py [out.csv]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectre_tpu.configs import parse_config
+from spectre_tpu.data import CIFAR100_MEAN, CIFAR100_STD, make_train_augment
+from spectre_tpu.models import build_model
+from spectre_tpu.profile import ProfilerParser, trace_step
+from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/v5e_train_step_ops.csv"
+    cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
+    cfg.batch_size = 1024
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=195)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(
+        0, 1, (cfg.batch_size, cfg.in_channels, cfg.img_size,
+               cfg.img_size)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(
+        0, cfg.num_classes, cfg.batch_size).astype(np.int32))
+    state = create_train_state(model, tx, images, seed=0)
+    step = make_train_step(model, augment_fn=make_train_augment(
+        CIFAR100_MEAN, CIFAR100_STD))
+    for _ in range(5):
+        state, m = step(state, images, labels)
+    np.asarray(m["loss"])
+    with trace_step("plots/train_step_trace") as t:
+        for _ in range(3):
+            state, m = step(state, images, labels)
+        np.asarray(m["loss"])
+    (ProfilerParser(t.path).remove_idle().add_percentages().round()
+     .sort_by_device().head(40).show().to_csv(out))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
