@@ -161,7 +161,7 @@ def random_rotate(key: jax.Array, x: jnp.ndarray, degrees: float = 30.0,
     xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
     idx = (jnp.arange(B)[:, None, None] * (H * W) + yc * W + xc).reshape(-1)
     xf = x.transpose(1, 0, 2, 3).reshape(C, B * H * W)
-    out = jax.vmap(lambda ch: jnp.take(ch, idx))(xf)
+    out = jax.vmap(lambda ch: jnp.take(ch, idx, mode="clip"))(xf)
     out = out.reshape(C, B, H, W).transpose(1, 0, 2, 3)
     return jnp.where(valid[:, None], out, 0.0)
 

@@ -327,7 +327,8 @@ class SignPermuteMix(nn.Module):
         perms, signs = self.variable("buffers", "mix_tables", init_tables).value
         B = x.shape[0]
         flat = x.astype(self.dtype).reshape(B, d)
-        mixed = jnp.take(flat, perms[0], axis=1) * signs[0, 0]
+        mixed = jnp.take(flat, perms[0], axis=1,
+                         mode="clip") * signs[0, 0]
         return mixed.reshape(x.shape)
 
 

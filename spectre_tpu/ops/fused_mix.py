@@ -39,7 +39,7 @@ def permut_mix_fused(x2d: jnp.ndarray, perms: jnp.ndarray,
     x2d: [B, d]; perms: [H, d] int32 (each row a permutation of range(d));
     signs2: [H, d] +-1.
     """
-    return jnp.take(x2d, perms, axis=1) * signs2
+    return jnp.take(x2d, perms, axis=1, mode="clip") * signs2
 
 
 def _fwd(x2d, perms, signs2):
@@ -63,7 +63,8 @@ def _bwd(res, g):
     inv = jnp.argsort(perms, axis=-1)  # inverse permutations
     offs = (jnp.arange(h, dtype=inv.dtype) * d)[:, None]
     idx = (inv + offs).T.reshape(-1)  # [d*H]: row j*H+h -> h*d + inv[h, j]
-    dx = jnp.take(gs, idx, axis=1).reshape(-1, d, h).sum(axis=2)  # [B, d]
+    dx = jnp.take(gs, idx, axis=1,
+                  mode="clip").reshape(-1, d, h).sum(axis=2)  # [B, d]
     return (dx,
             np.zeros(perms.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(signs2))
@@ -84,7 +85,8 @@ def permut_mix_fused_t(xt: jnp.ndarray, perms: jnp.ndarray,
     torch ``.view`` reinterpretation is an identity split of the leading
     axis), so no 1 GB relayout copies are needed on either side.
     """
-    mixed = jnp.take(xt, perms.reshape(-1), axis=0)  # [H*d, B]
+    mixed = jnp.take(xt, perms.reshape(-1), axis=0,
+                     mode="clip")  # [H*d, B]
     return mixed * signs2.reshape(-1, 1)
 
 
@@ -96,7 +98,8 @@ def _bwd_t(res, g):
     perms, signs2 = res
     h, d = perms.shape
     gs = (g.reshape(h, d, -1) * signs2[:, :, None]).reshape(h * d, -1)
-    dxt = jnp.take(gs, _inverse_row_table(perms), axis=0)
+    dxt = jnp.take(gs, _inverse_row_table(perms), axis=0,
+                   mode="clip")
     return (dxt.reshape(d, h, -1).sum(axis=1),  # [d, B]
             np.zeros(perms.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(signs2))
@@ -133,7 +136,7 @@ def perm_rows_t(xt: jnp.ndarray, perms: jnp.ndarray) -> jnp.ndarray:
     Reference semantics context: layers.py:68-73 — x[:, perms] * signs; here
     the gather half only.
     """
-    return jnp.take(xt, perms.reshape(-1), axis=0)
+    return jnp.take(xt, perms.reshape(-1), axis=0, mode="clip")
 
 
 def _fwd_rows(xt, perms):
@@ -149,9 +152,9 @@ def _bwd_rows(perms, g):
     # per-head chain 11.0 ms; the vmap'd take + reduce variant matches flat.
     inv = jnp.argsort(perms, axis=-1)
     gh = g.reshape(h, d, -1)
-    dxt = jnp.take(gh[0], inv[0], axis=0)
+    dxt = jnp.take(gh[0], inv[0], axis=0, mode="clip")
     for i in range(1, h):
-        dxt = dxt + jnp.take(gh[i], inv[i], axis=0)
+        dxt = dxt + jnp.take(gh[i], inv[i], axis=0, mode="clip")
     return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
 
 

@@ -53,7 +53,7 @@ def permut_mix(
     """
     B = x.shape[0]
     x = x.reshape(B, -1)  # [B, d], token-major
-    mixed = jnp.take(x, perms, axis=1) * signs  # [B, H, d]
+    mixed = jnp.take(x, perms, axis=1, mode="clip") * signs  # [B, H, d]
     return mixed.reshape(B, token_dim, -1)  # [B, N, E*H]
 
 
@@ -131,7 +131,8 @@ def structured_mix(
     had = hadamard_matrix(t, x.dtype)
     xt = x.reshape(B, n_tiles, t)
     # [B, H, T, t]: per-head tile gather (block moves), then H_t, then signs
-    gathered = jnp.take(xt, tile_perms, axis=1)  # [B, H, T, t]
+    gathered = jnp.take(xt, tile_perms, axis=1,
+                        mode="clip")  # [B, H, T, t]
     mixed = jnp.einsum("bhnt,ts->bhns", gathered, had)
     mixed = mixed * signs.reshape(1, H, n_tiles, t)
     return mixed.reshape(B, token_dim, -1)
