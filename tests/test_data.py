@@ -92,6 +92,21 @@ def test_random_rotate_zero_degrees_identity(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+def test_batched_nearest_rotate_matches_per_image_reference(rng):
+    """The production per-channel flat-gather path (one shared [B*H*W] index
+    vector — benchmarks/rotate_variants.py) must be bitwise-identical to the
+    simple vmapped per-image formulation it replaced."""
+    from spectre_tpu.data.augment import _rotate_nearest
+
+    x = jnp.asarray(rng.uniform(0, 1, (6, 3, 16, 16)).astype(np.float32))
+    key = jax.random.key(7)
+    out = random_rotate(key, x, degrees=30.0, interpolation="nearest")
+    angles = jax.random.uniform(key, (6,), minval=-30.0, maxval=30.0) * (
+        np.pi / 180.0)
+    ref = jax.vmap(_rotate_nearest)(x, angles.astype(x.dtype))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_rotate_180_reverses():
     x = jnp.arange(16, dtype=jnp.float32).reshape(1, 1, 4, 4)
     from spectre_tpu.data.augment import _rotate_bilinear
