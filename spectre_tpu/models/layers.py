@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.ops import (
     learnable_hadamard,
+    folded_proj,
     make_mix_tables,
     make_structured_tables,
     next_pow2,
@@ -170,8 +171,11 @@ class FoldedMixLinear(nn.Module):
         g = perm_rows_t(xt, perms)  # [H*d, B] == [N*in_features, B] stream
         g4 = g.reshape(N, in_features, B)
         s4 = signs2.astype(dt).reshape(N, in_features)  # same stream order
-        wp = s4[:, :, None] * w.astype(dt)[None]  # [N, in, O] folded weights
-        y = jnp.einsum("neb,neo->nbo", g4, wp) + b.astype(dt)
+        # folded-weight batched GEMM through the custom-VJP op: autodiff of
+        # the naive einsum builds a [N, in, O] cotangent whose schedule
+        # search is compile-time-pathological at some batches (B=256: 963 s
+        # for ONE layer backward on v5e) — ops/fused_mix.py::folded_proj
+        y = folded_proj(g4, w.astype(dt), s4) + b.astype(dt)
         if in_features % o == 0:
             grp = in_features // o
             # pool residual with the signs folded into the averaging weights

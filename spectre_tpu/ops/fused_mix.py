@@ -123,6 +123,45 @@ def _inverse_row_table(perms: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.custom_vjp
+def folded_proj(g4: jnp.ndarray, w: jnp.ndarray,
+                s4: jnp.ndarray) -> jnp.ndarray:
+    """Folded-weight projection: y[n,b,o] = sum_e g4[n,e,b]·s4[n,e]·w[e,o].
+
+    Forward materializes the per-token folded weights wp = s4 ⊙ w (one
+    [N, in, O] build feeding a batched GEMM — the measured-fast schedule,
+    models/layers.py::FoldedMixLinear). Autodiff of that expression builds
+    the [N, in, O] cotangent dwp as 65 K=B outer-product GEMMs before
+    reducing over tokens — numerically fine, but the remote XLA compiler's
+    schedule search is PATHOLOGICAL on it at some batch sizes (measured
+    compile times for one layer's backward, v5e: B=64 10 s, B=128 14 s,
+    B=256 963 s, B=1024 ~fast, B=8 477 s). This custom VJP reassociates the
+    backward so the intermediate never exists:
+
+        dg4[n,e,b] = s4[n,e] · Σ_o dy[n,b,o] w[e,o]     (batched GEMM, w shared)
+        dW[e,o]    = Σ_{n,b} (s4 ⊙ g4)[n,e,b] dy[n,b,o]  (ONE GEMM, K=N·B)
+
+    Same FLOPs, no [N, in, O] cotangent, flat compile time across batch.
+    """
+    return jnp.einsum("neb,neo->nbo", g4, s4[:, :, None] * w[None])
+
+
+def _fwd_folded_proj(g4, w, s4):
+    return folded_proj(g4, w, s4), (g4, w, s4)
+
+
+def _bwd_folded_proj(res, dy):
+    g4, w, s4 = res
+    n, e, b = g4.shape
+    dg4 = s4[:, :, None] * jnp.einsum("nbo,eo->neb", dy, w)
+    sg = (s4[:, :, None] * g4).transpose(1, 0, 2).reshape(e, n * b)
+    dw = sg @ dy.reshape(n * b, -1)
+    return dg4, dw, jnp.zeros_like(s4)
+
+
+folded_proj.defvjp(_fwd_folded_proj, _bwd_folded_proj)
+
+
+@jax.custom_vjp
 def perm_rows_t(xt: jnp.ndarray, perms: jnp.ndarray) -> jnp.ndarray:
     """Sign-FREE multi-head row permutation, token-major: [d, B] -> [H*d, B].
 
