@@ -191,7 +191,10 @@ inline void spectre_linear(const Weights& w, const std::string& prefix,
 struct Config {
   int img_size, patch_size, in_channels, num_classes, embed_dim;
   int num_encoders, num_heads, hidden_dim;
-  std::string mix_impl;  // "gather" | "structured"
+  std::string mix_impl;  // "structured" | anything else = exact gather math
+                         // ("gather"/"folded"/"gather_tm"/"gather_unfused"
+                         // are schedule variants of the SAME computation and
+                         // share one param/buffer tree — models/layers.py)
 };
 
 // spectral patch embed: fold rfft2(ortho).real + freq weights + projection

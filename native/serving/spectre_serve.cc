@@ -29,14 +29,17 @@
 // Weights are loaded once, shared read-only.
 //
 // Usage:
-//   spectre_serve --weights w.stw --meta meta.txt [--port 0]
+//   spectre_serve --weights w.stw --meta meta.txt [--port 0 | --uds PATH]
 //                 [--max-batch 256] [--batch-timeout-us 2000]
-// Prints "LISTENING <port>" on stdout once ready (port 0 = ephemeral).
+// Prints "LISTENING <port>" (TCP, port 0 = ephemeral) or
+// "LISTENING_UDS <path>" (unix-domain socket — skips the loopback TCP stack
+// for same-host clients) on stdout once ready.
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
+#include <sys/un.h>
 #include <unistd.h>
 
 #include <atomic>
@@ -282,27 +285,49 @@ int main(int argc, char** argv) {
     srv.batch_timeout_us = std::stoi(args["--batch-timeout-us"]);
   std::thread([&srv]() { srv.batcher_loop(); }).detach();
 
-  int port = args.count("--port") ? std::stoi(args["--port"]) : 0;
-  int sock = ::socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
-  ::setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
-  sockaddr_in addr{};
-  addr.sin_family = AF_INET;
-  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
-  addr.sin_port = htons((uint16_t)port);
-  if (::bind(sock, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
-      ::listen(sock, 64) != 0) {
-    std::cerr << "bind/listen failed\n";
-    return 1;
+  int sock = -1;
+  bool is_uds = args.count("--uds") > 0;
+  if (is_uds) {
+    const std::string& path = args["--uds"];
+    sockaddr_un uaddr{};
+    if (path.size() >= sizeof(uaddr.sun_path)) {
+      std::cerr << "--uds path too long\n";
+      return 2;
+    }
+    sock = ::socket(AF_UNIX, SOCK_STREAM, 0);
+    uaddr.sun_family = AF_UNIX;
+    std::strncpy(uaddr.sun_path, path.c_str(), sizeof(uaddr.sun_path) - 1);
+    ::unlink(path.c_str());  // stale socket from a previous run
+    if (::bind(sock, reinterpret_cast<sockaddr*>(&uaddr), sizeof(uaddr)) != 0 ||
+        ::listen(sock, 64) != 0) {
+      std::cerr << "uds bind/listen failed: " << path << "\n";
+      return 1;
+    }
+    std::cout << "LISTENING_UDS " << path << std::endl;
+  } else {
+    int port = args.count("--port") ? std::stoi(args["--port"]) : 0;
+    sock = ::socket(AF_INET, SOCK_STREAM, 0);
+    ::setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = htons((uint16_t)port);
+    if (::bind(sock, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+        ::listen(sock, 64) != 0) {
+      std::cerr << "bind/listen failed\n";
+      return 1;
+    }
+    socklen_t alen = sizeof(addr);
+    ::getsockname(sock, reinterpret_cast<sockaddr*>(&addr), &alen);
+    std::cout << "LISTENING " << ntohs(addr.sin_port) << std::endl;
   }
-  socklen_t alen = sizeof(addr);
-  ::getsockname(sock, reinterpret_cast<sockaddr*>(&addr), &alen);
-  std::cout << "LISTENING " << ntohs(addr.sin_port) << std::endl;
 
   for (;;) {
     int fd = ::accept(sock, nullptr, nullptr);
     if (fd < 0) continue;
-    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    if (!is_uds)
+      ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
     std::thread([&srv, fd]() { srv.handle(fd); }).detach();
   }
 }

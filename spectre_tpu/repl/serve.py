@@ -7,7 +7,8 @@ half of the capability the reference ghost-ships as a Rust inference crate
 (.gitignore:24, vit_spectre_cifar100.py:251).
 
     python -m spectre_tpu.repl.serve --config spectre_tpu/configs/spectre_vit_cifar100.py \
-        [--ckpt runs/exp/ckpt] [--port 7788] [--max-batch 256] [--export-dir DIR]
+        [--ckpt runs/exp/ckpt] [--port 7788 | --uds /tmp/spectre.sock] \\
+        [--max-batch 256] [--export-dir DIR]
 
 Clients: ``spectre_tpu.serving.SpectreClient`` (protocol documented there).
 """
@@ -28,6 +29,8 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None,
                    help="orbax checkpoint dir (serves the best-metric step, falling back to latest)")
     p.add_argument("--port", type=int, default=7788)
+    p.add_argument("--uds", default=None,
+                   help="serve on a unix-domain socket path instead of TCP")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--export-dir", default=None,
                    help="reuse/keep the export dir (default: runs/serve_export)")
@@ -47,9 +50,11 @@ def main(argv=None):
     cfg = apply_overrides(parse_config(args.config), args.set)
     outdir = args.export_dir or os.path.join("runs", "serve_export")
     export_from_config(cfg, checkpoint=args.ckpt, outdir=outdir, batch=1)
-    proc, port = start_server(outdir, port=args.port, max_batch=args.max_batch)
+    proc, addr = start_server(outdir, port=args.port, max_batch=args.max_batch,
+                              uds=args.uds)
+    where = addr if args.uds else f"127.0.0.1:{addr}"
     print(f"serving {getattr(cfg, 'model', 'spectre_vit')} from {outdir} "
-          f"on 127.0.0.1:{port} (ctrl-c to stop)")
+          f"on {where} (ctrl-c to stop)")
     try:
         proc.wait()
     except KeyboardInterrupt:

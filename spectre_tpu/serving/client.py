@@ -31,17 +31,21 @@ SERVER_BIN = os.path.join(_REPO, "native", "build", "spectre_serve")
 
 
 def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
-                 binary: str | None = None, timeout: float = 30.0):
+                 binary: str | None = None, timeout: float = 30.0,
+                 uds: str | None = None):
     """Launch spectre_serve on an exported model directory (weights.stw +
-    meta.txt, as written by repl/export.py). Returns (Popen, bound_port)."""
+    meta.txt, as written by repl/export.py). Returns ``(Popen, addr)``:
+    ``addr`` is the bound TCP port (int), or the unix-socket path (str) when
+    ``uds`` is given (same protocol, skips the loopback TCP stack)."""
     binary = binary or SERVER_BIN
     import select
 
+    transport = (["--uds", uds] if uds else ["--port", str(port)])
     proc = subprocess.Popen(
         [binary,
          "--weights", os.path.join(export_dir, "weights.stw"),
          "--meta", os.path.join(export_dir, "meta.txt"),
-         "--port", str(port), "--max-batch", str(max_batch)],
+         *transport, "--max-batch", str(max_batch)],
         stdout=subprocess.PIPE)
     # read the RAW pipe fd: select on a buffered TextIOWrapper is unsound
     # (readline can buffer bytes past the returned line, after which select
@@ -60,6 +64,8 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
         buf += chunk
         for raw in buf.split(b"\n"):
             line = raw.decode(errors="replace")
+            if line.startswith("LISTENING_UDS"):
+                return proc, line.split(None, 1)[1]
             if line.startswith("LISTENING"):
                 return proc, int(line.split()[1])
     proc.kill()
@@ -68,9 +74,16 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
 
 
 class SpectreClient:
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
-        self._sock = socket.create_connection((host, port))
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 uds: str | None = None):
+        """Connect over TCP (host/port) or a unix-domain socket (``uds`` =
+        the path printed by the server / returned by ``start_server``)."""
+        if uds is not None:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.connect(uds)
+        else:
+            self._sock = socket.create_connection((host, port))
+            self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
     def infer(self, images: np.ndarray) -> np.ndarray:
         """images: [B, C, H, W] float32 -> logits [B, num_classes]."""

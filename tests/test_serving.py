@@ -42,6 +42,31 @@ def test_serving_logits_match_jax(served):
     assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
 
 
+def test_serving_over_unix_domain_socket(served, tmp_path):
+    """Same protocol over AF_UNIX (--uds): logits parity + error handling."""
+    from spectre_tpu.serving import SpectreClient, start_server
+
+    outdir, _ = served
+    path = str(tmp_path / "spectre.sock")
+    proc, addr = start_server(outdir, uds=path)
+    try:
+        assert addr == path and os.path.exists(path)
+        want = np.fromfile(f"{outdir}/example_logits.f32",
+                           np.float32).reshape(4, 10)
+        x = np.fromfile(f"{outdir}/example_input.f32",
+                        np.float32).reshape(4, 3, 8, 8)
+        with SpectreClient(uds=addr) as client:
+            got = client.infer(x)
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+            # shape rejection still answers on the same connection
+            with pytest.raises(RuntimeError, match="shape mismatch"):
+                client.infer(np.zeros((1, 3, 16, 16), np.float32))
+            np.testing.assert_allclose(client.infer(x), want,
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        proc.kill()
+
+
 def test_serving_persistent_connection_and_latency(served):
     """Many requests over one connection; record p50/p99."""
     from spectre_tpu.serving import SpectreClient
