@@ -1,0 +1,87 @@
+"""Distillation step throughput on TPU: teacher fwd + dual views + student step.
+
+Times the exact per-batch work of the distillation loop
+(spectre_tpu/distill/loop.py): device-side augmentation of the student view,
+bilinear upsample + normalize for the teacher view, the frozen DINOv3-style
+RoPE teacher forward at 224x224, and the student fwd+bwd+AdamW update with
+the fused KD(T=2)*0.25 + CE*0.75 loss. Teacher weights are random (no real
+checkpoint in this environment) — throughput is architecture-dependent, not
+weight-dependent.
+
+Run: PYTHONPATH=/root/.axon_site:. python benchmarks/distill_step_bench.py [batch]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from spectre_tpu.configs import parse_config
+from spectre_tpu.distill.loop import _TEACHER_MEAN, _TEACHER_STD
+from spectre_tpu.distill.teacher import load_teacher
+from spectre_tpu.data import (CIFAR100_MEAN, CIFAR100_STD,
+                              make_train_augment, normalize)
+from spectre_tpu.data.augment import resize_bilinear
+from spectre_tpu.models import build_model, example_input
+from spectre_tpu.train import create_train_state, make_optimizer
+from spectre_tpu.train.step import make_distill_step
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    cfg = parse_config("spectre_tpu/configs/distill_cifar100.py")
+    cfg.batch_size = batch
+    student = build_model(cfg)
+    teacher, tvars = load_teacher(cfg.num_classes, img_size=224, seed=0,
+                                  variant="v3")
+    tx = make_optimizer(cfg, 195)
+    state = create_train_state(student, tx, example_input(cfg, batch), seed=0)
+    augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
+    step_fn = make_distill_step(student, temperature=2.0, kd_weight=0.25,
+                                ce_weight=0.75)
+    t_size = teacher.backbone.img_size
+
+    @jax.jit
+    def one_batch_teacher(raw):
+        tv = normalize(resize_bilinear(raw, t_size), _TEACHER_MEAN,
+                       _TEACHER_STD)
+        return teacher.apply(tvars, tv)
+
+    rng = np.random.default_rng(0)
+    raw = jax.numpy.asarray(
+        rng.uniform(0, 1, (batch, 3, cfg.img_size, cfg.img_size))
+        .astype(np.float32))
+    labels = jax.numpy.asarray(rng.integers(0, cfg.num_classes, batch)
+                               .astype(np.int32))
+    key = jax.random.key(0)
+
+    def one_step(state, key):
+        key, k = jax.random.split(key)
+        img = augment(k, raw)
+        tl = one_batch_teacher(raw)
+        state, m = step_fn(state, img, tl, labels)
+        return state, key, m
+
+    for _ in range(5):
+        state, key, m = one_step(state, key)
+    np.asarray(m["loss"])
+
+    for iters in (10, 30):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, key, m = one_step(state, key)
+        np.asarray(m["loss"])
+        dt = time.perf_counter() - t0
+        if iters == 10:
+            short, n_short = dt, iters
+    slope = (dt - short) / (30 - 10)
+    print(f"batch {batch}: {slope * 1e3:.1f} ms/step "
+          f"({batch / slope:.0f} img/s/chip), teacher 224x224 RoPE ViT-S/16 "
+          f"+ student flagship, fused KD+CE")
+
+
+if __name__ == "__main__":
+    main()
