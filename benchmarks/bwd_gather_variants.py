@@ -3,13 +3,17 @@
 The folded-mix backward is dxt[j] = sum_h g[h*d + inv[h, j]] with g the
 [H*d, B] cotangent stream (1.09 GB bf16 at the flagship config). The flat
 single-take formulation reads 2 KB rows randomly across the whole 1.09 GB
-footprint — profiled at ~200 GB/s effective (plots/layer_folded.csv,
-fusion.1: 10.8 ms/layer), while the FORWARD flat gather reads randomly
-within a 68 MB source at ~970 GB/s (benchmarks/mix_decompose.py). The
-hypothesis this harness tests: the gap is source-footprint locality (HBM
-row-buffer hits), so re-expressing the backward as H per-head gathers —
-each reading randomly within one 68 MB head slice — plus one 16-way add
-should approach forward bandwidth.
+footprint — this harness measures it at 12.7 ms standalone (~85 GiB/s
+against the minimal read-stream+write-result traffic it prints; the
+in-step schedule ran the same gather at 10.8 ms, plots/layer_folded.csv
+fusion.1) — while the FORWARD flat gather reads randomly within a 68 MB
+source far faster (benchmarks/mix_decompose.py). The hypothesis this
+harness tests: the gap is source-footprint locality (HBM row-buffer hits),
+so re-expressing the backward as H per-head gathers — each reading randomly
+within one 68 MB head slice — plus one 16-way add should close it. Result:
+per-head 11.0 ms vs flat 12.7 ms standalone, and a 27 ms/step win in the
+composite train step; the per-head form shipped (ops/fused_mix.py
+::_bwd_rows).
 
 Run: PYTHONPATH=/root/.axon_site:. python benchmarks/bwd_gather_variants.py
 """
@@ -33,7 +37,8 @@ def make_tables(rng, h, d):
 
 
 def flat(g, inv, h, d):
-    """Current production formulation (ops/fused_mix.py::_bwd_rows)."""
+    """The formulation production used BEFORE the per-head rewrite
+    (ops/fused_mix.py::_bwd_rows now ships the per_head variant below)."""
     offs = (jnp.arange(h, dtype=inv.dtype) * d)[:, None]
     idx = (inv + offs).T.reshape(-1)
     return jnp.take(g, idx, axis=0).reshape(d, h, -1).sum(axis=1)

@@ -69,15 +69,15 @@ def main():
         state, key, m = one_step(state, key)
     np.asarray(m["loss"])
 
-    for iters in (10, 30):
+    points = (10, 30)
+    times = []
+    for iters in points:
         t0 = time.perf_counter()
         for _ in range(iters):
             state, key, m = one_step(state, key)
         np.asarray(m["loss"])
-        dt = time.perf_counter() - t0
-        if iters == 10:
-            short, n_short = dt, iters
-    slope = (dt - short) / (30 - 10)
+        times.append(time.perf_counter() - t0)
+    slope = (times[1] - times[0]) / (points[1] - points[0])
     print(f"batch {batch}: {slope * 1e3:.1f} ms/step "
           f"({batch / slope:.0f} img/s/chip), teacher 224x224 RoPE ViT-S/16 "
           f"+ student flagship, fused KD+CE")

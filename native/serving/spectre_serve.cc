@@ -39,6 +39,7 @@
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
+#include <sys/stat.h>
 #include <sys/un.h>
 #include <unistd.h>
 
@@ -283,7 +284,10 @@ int main(int argc, char** argv) {
   if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
   if (args.count("--batch-timeout-us"))
     srv.batch_timeout_us = std::stoi(args["--batch-timeout-us"]);
-  std::thread([&srv]() { srv.batcher_loop(); }).detach();
+  // NOTE: the batcher thread starts only after the listener is up — an
+  // early `return` from the transport guards below must not leave a
+  // detached thread waiting on srv's condition variable while main's
+  // destructors tear it down (measured as a hang on the error paths).
 
   int one = 1;
   int sock = -1;
@@ -298,7 +302,26 @@ int main(int argc, char** argv) {
     sock = ::socket(AF_UNIX, SOCK_STREAM, 0);
     uaddr.sun_family = AF_UNIX;
     std::strncpy(uaddr.sun_path, path.c_str(), sizeof(uaddr.sun_path) - 1);
-    ::unlink(path.c_str());  // stale socket from a previous run
+    // Only remove a STALE socket: never delete a non-socket file (a typo'd
+    // --uds path must not destroy data), and never hijack a path another
+    // live server is accepting on (probe with a connect; TCP gets the same
+    // protection from bind()'s EADDRINUSE).
+    struct stat st {};
+    if (::lstat(path.c_str(), &st) == 0) {
+      if (!S_ISSOCK(st.st_mode)) {
+        std::cerr << "--uds path exists and is not a socket: " << path << "\n";
+        return 2;
+      }
+      int probe = ::socket(AF_UNIX, SOCK_STREAM, 0);
+      bool live = ::connect(probe, reinterpret_cast<sockaddr*>(&uaddr),
+                            sizeof(uaddr)) == 0;
+      ::close(probe);
+      if (live) {
+        std::cerr << "--uds path already has a live server: " << path << "\n";
+        return 2;
+      }
+      ::unlink(path.c_str());  // stale socket from a dead server
+    }
     if (::bind(sock, reinterpret_cast<sockaddr*>(&uaddr), sizeof(uaddr)) != 0 ||
         ::listen(sock, 64) != 0) {
       std::cerr << "uds bind/listen failed: " << path << "\n";
@@ -322,6 +345,8 @@ int main(int argc, char** argv) {
     ::getsockname(sock, reinterpret_cast<sockaddr*>(&addr), &alen);
     std::cout << "LISTENING " << ntohs(addr.sin_port) << std::endl;
   }
+
+  std::thread([&srv]() { srv.batcher_loop(); }).detach();
 
   for (;;) {
     int fd = ::accept(sock, nullptr, nullptr);

@@ -42,8 +42,10 @@ method = "permut_mix"         # mixer: permut_mix|fft_bare|fft_mh|dwt_embed|dwt_
 mix_impl = "folded"           # permut-mix impl: "folded" (exact reference
                               # semantics, signs/pool folded into per-token
                               # projection weights — measured fastest full
-                              # train step: 214.5 vs 250.4 ms/step gather at
-                              # B=1024 on v5e; DEFAULT) | "gather" (simplest
-                              # exact impl) | "structured" (tile-structured
-                              # orthogonal mix, different math) | "gather_tm"
-                              # | "gather_unfused" (parity baselines)
+                              # train step: 214.5 vs 250.4 ms/step gather in
+                              # the repl/perf train sweep at B=1024 on v5e;
+                              # bench.py slope headline in BASELINE.md;
+                              # DEFAULT) | "gather" (simplest exact impl) |
+                              # "structured" (tile-structured orthogonal
+                              # mix, different math) | "gather_tm" |
+                              # "gather_unfused" (parity baselines)

@@ -206,7 +206,8 @@ class MHPermutMix(nn.Module):
                          residual folded into per-token projection weights
                          (FoldedMixLinear above). Config DEFAULT — 214.5 vs
                          250.4 ms/step gather on the flagship train step
-                         (B=1024, v5e).
+                         (repl/perf train sweep, B=1024, v5e; the bench.py
+                         slope-timed equivalents are in BASELINE.md).
     - "gather":          exact reference semantics through the custom-VJP op
                          (inverse-permutation backward; the XLA autodiff
                          backward is a 20 ms/layer scatter-add). Module-level

@@ -62,7 +62,10 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
         if not chunk:
             break  # EOF: daemon exited
         buf += chunk
-        for raw in buf.split(b"\n"):
+        # parse COMPLETE lines only: a read can end mid-line, and a partial
+        # b"LISTENING_UDS /tmp/sp" fragment must not be returned as the path
+        *lines, buf = buf.split(b"\n")
+        for raw in lines:
             line = raw.decode(errors="replace")
             if line.startswith("LISTENING_UDS"):
                 return proc, line.split(None, 1)[1]

@@ -44,7 +44,7 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
 
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=570)
+        out, err = p.communicate(timeout=1500)
         assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
@@ -76,7 +76,7 @@ def test_two_process_full_train_loop(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=570)
+        out, err = p.communicate(timeout=1500)
         assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     for o in outs:

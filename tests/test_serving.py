@@ -63,8 +63,26 @@ def test_serving_over_unix_domain_socket(served, tmp_path):
                 client.infer(np.zeros((1, 3, 16, 16), np.float32))
             np.testing.assert_allclose(client.infer(x), want,
                                        rtol=1e-4, atol=1e-4)
+        # a second server must NOT hijack the live socket
+        from spectre_tpu.serving.client import SERVER_BIN
+        r = subprocess.run(
+            [SERVER_BIN, "--weights", f"{outdir}/weights.stw",
+             "--meta", f"{outdir}/meta.txt", "--uds", path],
+            capture_output=True, text=True, timeout=30)
+        assert r.returncode != 0 and "live server" in r.stderr
+        with SpectreClient(uds=path) as client:  # original still serving
+            np.testing.assert_allclose(client.infer(x), want,
+                                       rtol=1e-4, atol=1e-4)
     finally:
         proc.kill()
+    # a typo'd --uds path at an existing regular file must not delete it
+    victim = tmp_path / "precious.txt"
+    victim.write_text("data")
+    r = subprocess.run(
+        [SERVER_BIN, "--weights", f"{outdir}/weights.stw",
+         "--meta", f"{outdir}/meta.txt", "--uds", str(victim)],
+        capture_output=True, text=True, timeout=30)
+    assert r.returncode != 0 and victim.read_text() == "data"
 
 
 def test_serving_persistent_connection_and_latency(served):
