@@ -245,6 +245,17 @@ class MHPermutMix(nn.Module):
         if impl in ("gather_unfused", "gather_tm"):
             impl = "gather"
 
+        # Trace-time schedule selection: at tiny batch the folded batched
+        # GEMM's remote-XLA compile is pathological (measured fwd-only
+        # compiles on v5e: B=1 265 s vs 4.5 s through the gather schedule;
+        # B>=8 is normal — BASELINE.md). The gather route is the SAME
+        # computation over the SAME param/buffer tree (SpectreLinear and
+        # FoldedMixLinear share kernel/bias/ln_scale/ln_bias names and
+        # shapes), so checkpoints and exports are unaffected; tiny batches
+        # are dispatch-bound anyway, making the schedule difference moot.
+        if impl == "folded" and x.shape[0] < 8:
+            impl = "gather"
+
         if impl == "folded":
             def init_tables():
                 return make_mix_tables(self.make_rng("params"), self.num_heads, d)
