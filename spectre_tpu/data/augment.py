@@ -266,6 +266,25 @@ def make_eval_transform(mean: Sequence[float], std: Sequence[float]):
 
 def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Bilinear NCHW resize (the teacher path upsamples 32 -> 224,
-    train.py:92-99). jax.image.resize lowers to XLA gather/matmul."""
-    B, C = x.shape[:2]
-    return jax.image.resize(x, (B, C, size, size), method="bilinear")
+    train.py:92-99) as two separable GEMMs.
+
+    Bilinear resize is a LINEAR operator, so its exact 1-D matrices are
+    obtained by resizing identity matrices (constant-folded at trace time)
+    and applied as two einsums on the MXU. ``jax.image.resize``'s own
+    lowering ran at 69 ms for the 32->224 teacher view at B=256 on v5e —
+    more than the ViT-S/16 teacher forward itself (54 ms); the GEMM
+    formulation is bandwidth-bound on the 154 MB output instead
+    (benchmarks/distill_step_bench.py before/after in BASELINE.md).
+    Matches ``jax.image.resize(method="bilinear")`` to float tolerance by
+    construction (same operator, different association).
+    """
+    B, C, H, W = x.shape
+    if (H, W) == (size, size):
+        return x
+    rh = jax.image.resize(jnp.eye(H, dtype=x.dtype), (size, H),
+                          method="bilinear")
+    rw = (rh if W == H else
+          jax.image.resize(jnp.eye(W, dtype=x.dtype), (size, W),
+                           method="bilinear"))
+    y = jnp.einsum("oh,bchw->bcow", rh, x)
+    return jnp.einsum("pw,bcow->bcop", rw, y)

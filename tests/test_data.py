@@ -154,6 +154,17 @@ def test_resize_bilinear_teacher_path(rng):
     x = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 32)).astype(np.float32))
     out = resize_bilinear(x, 224)
     assert out.shape == (2, 3, 224, 224)
+    # the separable-GEMM formulation must be the exact same linear operator
+    # as jax.image.resize (derived from it via identity matrices)
+    want = jax.image.resize(x, (2, 3, 224, 224), method="bilinear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # downsample path too (repl pipelines resize both directions)
+    big = jnp.asarray(rng.uniform(0, 1, (2, 3, 224, 224)).astype(np.float32))
+    got = resize_bilinear(big, 32)
+    want = jax.image.resize(big, (2, 3, 32, 32), method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_cifar100_binary_format_loader(tmp_path):
