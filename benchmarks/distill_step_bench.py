@@ -35,8 +35,10 @@ def main():
     cfg = parse_config("spectre_tpu/configs/distill_cifar100.py")
     cfg.batch_size = batch
     student = build_model(cfg)
-    teacher, tvars = load_teacher(cfg.num_classes, img_size=224, seed=0,
-                                  variant="v3")
+    from spectre_tpu.models.registry import _DTYPES
+    teacher, tvars = load_teacher(
+        cfg.num_classes, img_size=224, seed=0, variant="v3",
+        dtype=_DTYPES[getattr(cfg, "compute_dtype", "float32")])
     tx = make_optimizer(cfg, 195)
     state = create_train_state(student, tx, example_input(cfg, batch), seed=0)
     augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)

@@ -87,10 +87,14 @@ def distill_from_config(
         # actual teacher, train.py:66-74); "dinov2_*" the learned-pos-embed one
         variant = "v2" if str(getattr(config, "teacher", "dinov3_vits16")
                               ).startswith("dinov2") else "v3"
+        from spectre_tpu.models.registry import _DTYPES
+
         teacher, teacher_variables = load_teacher(
             config.num_classes, img_size=teacher_img_size,
             seed=getattr(config, "random_seed", 42), variant=variant,
-            weights_path=getattr(config, "teacher_checkpoint", None))
+            weights_path=getattr(config, "teacher_checkpoint", None),
+            # frozen + inference-only: run at the config's compute dtype
+            dtype=_DTYPES[getattr(config, "compute_dtype", "float32")])
 
     train_iter = BatchIterator(train_x, train_y, batch_size, shuffle=True,
                                seed=getattr(config, "random_seed", 42))

@@ -342,15 +342,23 @@ def import_torch_state_dict(model: DinoVisionTransformer, params, sd: dict):
 
 
 def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0,
-                 variant: str = "v3", weights_path: str | None = None):
+                 variant: str = "v3", weights_path: str | None = None,
+                 dtype: Dtype = jnp.float32):
     """Build (classifier_model, variables). Real weights load from
     ``weights_path`` (the ``teacher_checkpoint`` config key) or
     $SPECTRE_TEACHER_WEIGHTS (a numpy .npz dump of the torch state_dict);
     otherwise seeded random init (hermetic fallback — this image has no
     network egress to fetch DINOv3 checkpoints). ``variant='v3'`` (default,
     matching the reference's dinov3_vits16 teacher) uses RoPE attention and
-    no absolute pos-embed; 'v2' keeps the learned pos-embed layout."""
-    backbone = DinoVisionTransformer(img_size=img_size, variant=variant)
+    no absolute pos-embed; 'v2' keeps the learned pos-embed layout.
+
+    ``dtype`` is the COMPUTE dtype (params stay f32): the teacher is frozen
+    and inference-only, so the distill loop runs it in the config's
+    compute_dtype (bf16 by default — softmax statistics stay f32 inside the
+    attention block); the f32 default here keeps the torch-oracle parity
+    tests exact."""
+    backbone = DinoVisionTransformer(img_size=img_size, variant=variant,
+                                     dtype=dtype)
     clf = DinoClassifier(backbone=backbone, num_classes=num_classes)
     x = jnp.zeros((1, 3, img_size, img_size))
     variables = clf.init(jax.random.key(seed), x)

@@ -48,8 +48,10 @@ def distill_loss(
         loss = kd_weight * KD + ce_weight * CE(student, labels)
     """
     t = temperature
-    log_p_s = jax.nn.log_softmax(student_logits / t, axis=-1)
-    log_p_t = jax.nn.log_softmax(teacher_logits / t, axis=-1)
+    # softmax statistics in f32 regardless of the models' compute dtype (the
+    # teacher runs bf16 by default; KD targets should not lose mantissa)
+    log_p_s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t, axis=-1)
+    log_p_t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / t, axis=-1)
     p_t = jnp.exp(log_p_t)
     kd = (t * t) * jnp.sum(p_t * (log_p_t - log_p_s), axis=-1).mean()
     ce = cross_entropy_loss(student_logits, labels)
