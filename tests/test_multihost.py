@@ -16,6 +16,29 @@ import sys
 import pytest
 
 
+def _spawn_worker(cmd, env, tmp_path, pid):
+    """Worker stderr goes to a FILE, never a pipe: with two coupled workers,
+    draining pipes sequentially deadlocks — communicate(proc0) does not
+    drain proc1's stderr, so once proc1 fills the 64 KB pipe buffer (cold
+    XLA cache emits multi-KB warnings) it blocks mid-write, its collectives
+    stall, and proc0 never finishes either. Seen intermittently in CI;
+    stdout stays a pipe (one small JSON line by contract).
+    """
+    errfile = open(os.path.join(str(tmp_path), f"worker{pid}.stderr"), "w+")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errfile,
+                            env=env, text=True)
+    return proc, errfile
+
+
+def _await_worker(p, errfile):
+    out, _ = p.communicate(timeout=1500)
+    errfile.seek(0)
+    err = errfile.read()
+    errfile.close()
+    assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -34,19 +57,13 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
         # conftest's 8-device flag so the worker sets its own
         env["XLA_FLAGS"] = ""
         env["JAX_PLATFORMS"] = "cpu"
-        procs.append(subprocess.Popen(
+        procs.append(_spawn_worker(
             [sys.executable, "-m", "spectre_tpu.parallel.multihost_smoke",
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--ckpt-dir", ckpt_dir],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
-        ))
+             "--ckpt-dir", ckpt_dir], env, tmp_path, pid))
 
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=1500)
-        assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    outs = [_await_worker(p, ef) for p, ef in procs]
 
     for o in outs:
         assert o["process_count"] == 2
@@ -67,18 +84,12 @@ def test_two_process_full_train_loop(tmp_path):
         env = dict(os.environ)
         env["XLA_FLAGS"] = ""
         env["JAX_PLATFORMS"] = "cpu"
-        procs.append(subprocess.Popen(
+        procs.append(_spawn_worker(
             [sys.executable, "-m", "spectre_tpu.parallel.multihost_smoke",
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--ckpt-dir", str(tmp_path), "--train-loop"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
-        ))
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=1500)
-        assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+             "--ckpt-dir", str(tmp_path), "--train-loop"], env, tmp_path, pid))
+    outs = [_await_worker(p, ef) for p, ef in procs]
     for o in outs:
         assert o["process_count"] == 2
         assert o["step"] == 2
