@@ -139,7 +139,10 @@ class FoldedMixLinear(nn.Module):
     (measured ~970 GiB/s — benchmarks/mix_decompose.py) + one batched GEMM.
     The two [B, H, d] sign-multiply passes (~3.3 ms/layer each at the
     flagship config) and their backward twins vanish; the backward gather is
-    the flat inverse-table formulation (ops/fused_mix.py::perm_rows_t).
+    the per-head inverse formulation (ops/fused_mix.py::perm_rows_t — HBM
+    row-buffer locality, benchmarks/bwd_gather_variants.py) and the
+    projection differentiates through ops/fused_mix.py::folded_proj
+    (reassociated dW — no [N, in, O] cotangent).
 
     Identical math, params (kernel/bias/ln_scale/ln_bias) and buffers
     (mix_tables) as the other gather impls — checkpoints interchange

@@ -31,7 +31,18 @@ def _spawn_worker(cmd, env, tmp_path, pid):
 
 
 def _await_worker(p, errfile):
-    out, _ = p.communicate(timeout=1500)
+    try:
+        out, _ = p.communicate(timeout=1500)
+    except subprocess.TimeoutExpired:
+        # dump where the worker was stuck instead of a bare TimeoutExpired
+        p.kill()
+        out, _ = p.communicate()
+        errfile.seek(0)
+        err = errfile.read()
+        errfile.close()
+        raise AssertionError(
+            f"worker timed out after 1500s:\nstdout={out}\n"
+            f"stderr tail={err[-3000:]}")
     errfile.seek(0)
     err = errfile.read()
     errfile.close()
