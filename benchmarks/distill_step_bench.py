@@ -35,10 +35,10 @@ def main():
     cfg = parse_config("spectre_tpu/configs/distill_cifar100.py")
     cfg.batch_size = batch
     student = build_model(cfg)
-    from spectre_tpu.models.registry import _DTYPES
+    from spectre_tpu.models.registry import resolve_dtype
     teacher, tvars = load_teacher(
         cfg.num_classes, img_size=224, seed=0, variant="v3",
-        dtype=_DTYPES[getattr(cfg, "compute_dtype", "float32")])
+        dtype=resolve_dtype(getattr(cfg, "compute_dtype", "float32")))
     tx = make_optimizer(cfg, 195)
     state = create_train_state(student, tx, example_input(cfg, batch), seed=0)
     augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
@@ -60,29 +60,53 @@ def main():
                                .astype(np.int32))
     key = jax.random.key(0)
 
-    def one_step(state, key):
+    cached_tl = one_batch_teacher(raw)  # frozen-teacher cache stand-in
+
+    def one_step_recompute(state, key):
         key, k = jax.random.split(key)
         img = augment(k, raw)
         tl = one_batch_teacher(raw)
         state, m = step_fn(state, img, tl, labels)
         return state, key, m
 
-    for _ in range(5):
-        state, key, m = one_step(state, key)
-    np.asarray(m["loss"])
+    def one_step_cached(state, key):
+        # the distill loop's default path: teacher logits come from the
+        # per-run cache (distill/loop.py precompute_teacher_logits); the
+        # per-step work is augmentation + the student program only
+        key, k = jax.random.split(key)
+        img = augment(k, raw)
+        state, m = step_fn(state, img, cached_tl, labels)
+        return state, key, m
 
-    points = (10, 30)
-    times = []
-    for iters in points:
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    def time_mode(label, one_step, state, key):
+        for _ in range(5):
             state, key, m = one_step(state, key)
         np.asarray(m["loss"])
-        times.append(time.perf_counter() - t0)
-    slope = (times[1] - times[0]) / (points[1] - points[0])
-    print(f"batch {batch}: {slope * 1e3:.1f} ms/step "
-          f"({batch / slope:.0f} img/s/chip), teacher 224x224 RoPE ViT-S/16 "
-          f"+ student flagship, fused KD+CE")
+        points = (10, 30)
+        times = []
+        for iters in points:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, key, m = one_step(state, key)
+            np.asarray(m["loss"])
+            times.append(time.perf_counter() - t0)
+        slope = (times[1] - times[0]) / (points[1] - points[0])
+        print(f"batch {batch} [{label}]: {slope * 1e3:.1f} ms/step "
+              f"({batch / slope:.0f} img/s/chip)")
+        return state, key, slope
+
+    print("teacher 224x224 RoPE ViT-S/16 + student flagship, fused KD+CE")
+    state, key, s_re = time_mode("per-step teacher recompute",
+                                 one_step_recompute, state, key)
+    state, key, s_ca = time_mode("cached teacher logits (loop default)",
+                                 one_step_cached, state, key)
+    n_train = 50_000
+    teacher_cost = max(0.0, s_re - s_ca)  # per-batch teacher-side seconds
+    total_steps = max(1, int(cfg.epochs) * (n_train // batch))
+    amort = s_ca + (n_train / batch) * teacher_cost / total_steps
+    print(f"cache speedup {s_re / s_ca:.2f}x per step; amortized over "
+          f"{cfg.epochs} epochs (one teacher precompute pass): "
+          f"{amort * 1e3:.1f} ms/step effective")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,10 @@ class BatchIterator:
                 # per-sample mask (shards with the batch — a scalar count
                 # cannot describe padding once batches span processes)
                 "mask": mask,
+                # dataset indices of the selected samples: lets callers join
+                # per-sample side tables (e.g. the cached frozen-teacher
+                # logits in distill/loop.py) against the shuffled batch
+                "index": sel,
                 "valid": np.int32(valid),
             }
 
@@ -88,12 +92,11 @@ def prefetch_to_mesh(iterator, mesh, prefetch: int = 2):
             return jax.device_put(x, sharding)
 
     def stage(batch):
-        return {
-            "image": place(batch["image"]),
-            "label": place(batch["label"]),
-            "mask": place(batch["mask"]),
-            "valid": batch["valid"],
-        }
+        # every ndarray value is staged (extra per-sample side-channels like
+        # "teacher_logits" ride along, sharded like the batch); host scalars
+        # ("valid") pass through untouched
+        return {k: place(v) if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()}
 
     it = iter(iterator)
     try:

@@ -13,38 +13,84 @@ own jitted program and the student forward/backward+update in another
 (train/step.py make_distill_step) — split compilation keeps each program
 small through the remote-compile tunnel while the two still execute
 back-to-back on the same chips with no host sync between them. The reference
-paid two host transform pipelines and two H2D copies per batch. Checkpoints:
-orbax best-by-loss + latest under <checkpoint_dir>/distill_<name>/ckpt.
+paid two host transform pipelines and two H2D copies per batch.
+
+Frozen-teacher logit cache (default ON): the teacher view is DETERMINISTIC —
+``resize_bilinear`` + normalize of the raw batch, no augmentation — and the
+teacher is frozen, so each sample's teacher logits are constant across every
+epoch. One jitted pass over the dataset at startup (~1 epoch of teacher
+time, ~20 MB host memory for 50k x 100 classes) replaces the per-step
+teacher forward for the whole run; each batch then joins the cache by sample
+index and ships the logits with the pixels. The loss sequence is identical
+to per-step recompute (tests/test_distill.py::test_teacher_cache_parity);
+``distill_cache_teacher=False`` (config) or ``cache_teacher=False`` keeps
+the per-step recompute path for future stochastic teacher views. The
+reference recomputed the frozen teacher every batch, every epoch
+(train.py:326-327).
+
+Failure recovery mirrors the train loop (train/loop.py): orbax best+latest
+checkpoints, ``resume=True`` continues from the latest step (epoch count
+derived from the restored step), SIGTERM/SIGINT trigger a
+finish-step-then-checkpoint preemption save. Multi-host: each process
+feeds its strided slice of the data at ``batch/process_count`` and metrics
+write on process 0 only.
 """
 
 from __future__ import annotations
 
+import signal
 import time
 from types import SimpleNamespace
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from spectre_tpu.data import (
     BatchIterator,
     load_dataset,
+    make_eval_transform,
     make_train_augment,
     prefetch_to_mesh,
 )
 from spectre_tpu.data.augment import normalize, resize_bilinear
 from spectre_tpu.distill.teacher import load_teacher
 from spectre_tpu.models import build_model, example_input
+from spectre_tpu.models.registry import resolve_dtype
 from spectre_tpu.parallel import create_mesh, replicated_sharding
 from spectre_tpu.train.checkpoint import CheckpointManager
-from spectre_tpu.train.loop import _dataset_stats
+from spectre_tpu.train.loop import _dataset_stats, load_sized_dataset
 from spectre_tpu.train.optim import make_optimizer
 from spectre_tpu.train.state import create_train_state
-from spectre_tpu.train.step import make_distill_step
+from spectre_tpu.train.step import make_distill_step, make_eval_step
 from spectre_tpu.utils import MetricsWriter, experiment_name
 
 # ImageNet stats — what DINO teachers were trained with
 _TEACHER_MEAN = (0.485, 0.456, 0.406)
 _TEACHER_STD = (0.229, 0.224, 0.225)
+
+
+def precompute_teacher_logits(teacher_logits_fn, images: np.ndarray,
+                              batch_size: int, num_classes: int) -> np.ndarray:
+    """One jitted teacher pass over ``images`` -> [N, num_classes] float32.
+
+    Chunks at ``batch_size`` (the same compiled program the recompute path
+    would use — no extra compilation, and per-sample results are identical
+    because every op in the teacher view/forward is independent across the
+    batch row axis). The last partial chunk is padded to keep shapes static.
+    """
+    n = len(images)
+    out = np.empty((n, num_classes), np.float32)
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        valid = len(chunk)
+        if valid < batch_size:
+            pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        logits = teacher_logits_fn(jnp.asarray(chunk))
+        out[start:start + valid] = np.asarray(
+            logits[:valid], dtype=np.float32)
+    return out
 
 
 def distill_from_config(
@@ -57,6 +103,8 @@ def distill_from_config(
     teacher_img_size: int = 224,
     write_metrics: bool = True,
     checkpoint: bool = True,
+    resume: bool = False,
+    cache_teacher: bool | None = None,
 ):
     dataset = getattr(config, "dataset", "cifar100")
     if synthetic:
@@ -68,6 +116,9 @@ def distill_from_config(
     else:
         train_x, train_y = load_dataset(dataset, "train",
                                         data_dir=getattr(config, "data_dir", None))
+    # student validation set at the model input size (reference evaluated the
+    # student per epoch in its main loop; the distill phase now does too)
+    val_x, val_y = load_sized_dataset(config, "test", synthetic)
 
     mesh = create_mesh()
     batch_size = int(config.batch_size)
@@ -76,10 +127,25 @@ def distill_from_config(
             f"batch_size={batch_size} is smaller than the device count "
             f"{mesh.devices.shape[0]}")
     batch_size -= batch_size % mesh.devices.shape[0]
-    if batch_size > len(train_x):
+
+    # multi-host: each process loads/iterates ITS strided slice and stages
+    # local batches of global_batch/P (mirrors train/loop.py:136-144); the
+    # teacher-logit cache below is likewise per-process — each process only
+    # ever joins indices from its own slice
+    pcount, pidx = jax.process_count(), jax.process_index()
+    is_main = pidx == 0
+    local_batch = batch_size
+    if pcount > 1:
+        n_tr = len(train_x) // pcount
+        train_x, train_y = train_x[pidx::pcount][:n_tr], train_y[pidx::pcount][:n_tr]
+        n_va = len(val_x) // pcount
+        val_x, val_y = val_x[pidx::pcount][:n_va], val_y[pidx::pcount][:n_va]
+        local_batch = batch_size // pcount
+    if local_batch > len(train_x):
         raise ValueError(
-            f"batch_size={batch_size} exceeds the train set ({len(train_x)} "
-            "examples) — the drop-last iterator would yield zero batches")
+            f"local batch {local_batch} exceeds the per-process train slice "
+            f"({len(train_x)} examples) — the drop-last iterator would yield "
+            "zero batches")
 
     student = build_model(config)
     if teacher is None:
@@ -87,27 +153,29 @@ def distill_from_config(
         # actual teacher, train.py:66-74); "dinov2_*" the learned-pos-embed one
         variant = "v2" if str(getattr(config, "teacher", "dinov3_vits16")
                               ).startswith("dinov2") else "v3"
-        from spectre_tpu.models.registry import _DTYPES
-
         teacher, teacher_variables = load_teacher(
             config.num_classes, img_size=teacher_img_size,
             seed=getattr(config, "random_seed", 42), variant=variant,
             weights_path=getattr(config, "teacher_checkpoint", None),
             # frozen + inference-only: run at the config's compute dtype
-            dtype=_DTYPES[getattr(config, "compute_dtype", "float32")])
+            dtype=resolve_dtype(getattr(config, "compute_dtype", "float32")))
 
-    train_iter = BatchIterator(train_x, train_y, batch_size, shuffle=True,
+    train_iter = BatchIterator(train_x, train_y, local_batch, shuffle=True,
                                seed=getattr(config, "random_seed", 42))
     steps_per_epoch = max(1, len(train_iter))
     tx = make_optimizer(config, steps_per_epoch)
     state = create_train_state(student, tx,
                                example_input(config, batch_size=batch_size),
                                seed=getattr(config, "random_seed", 42))
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if pcount == 1:
+        state = jax.device_put(state, replicated_sharding(mesh))
+    # (multi-process: identical seeded init on every process; GSPMD treats
+    # the process-local state as replicated — tests/test_multihost.py)
 
     mean, std = _dataset_stats(dataset)
     in_ch = int(getattr(config, "in_channels", 3))
     augment = make_train_augment(mean, std, jitter=(in_ch == 3))
+    eval_transform = make_eval_transform(mean, std)
 
     t_size = teacher.backbone.img_size
 
@@ -121,8 +189,8 @@ def distill_from_config(
         return normalize(x, _TEACHER_MEAN, _TEACHER_STD)
 
     @jax.jit
-    def teacher_apply(images_teacher):
-        return teacher.apply(teacher_variables, images_teacher)
+    def teacher_logits_fn(raw):
+        return teacher.apply(teacher_variables, teacher_view(raw))
 
     alpha = float(getattr(config, "distill_alpha", 0.25))
     step_fn = make_distill_step(
@@ -130,6 +198,7 @@ def distill_from_config(
         temperature=float(getattr(config, "distill_temperature", 2.0)),
         kd_weight=alpha, ce_weight=1.0 - alpha,
     )
+    eval_step = make_eval_step(student)
 
     img_size = int(config.img_size)
     if train_x.shape[-1] != img_size:
@@ -137,28 +206,93 @@ def distill_from_config(
     else:
         resize = lambda v: v  # noqa: E731
 
+    if cache_teacher is None:
+        cache_teacher = bool(getattr(config, "distill_cache_teacher", True))
+        if cache_teacher and max_steps is not None \
+                and max_steps <= steps_per_epoch:
+            # a run that never revisits a sample (smoke runs, CI) gains
+            # nothing from the cache but pays a full teacher pass up front —
+            # recompute per step instead (identical numerics either way, see
+            # the parity test; the cache only changes WHEN teacher logits
+            # are computed). An explicit cache_teacher=True kwarg overrides.
+            cache_teacher = False
+    logit_cache = None
+    if cache_teacher:
+        t_cache0 = time.time()
+        logit_cache = precompute_teacher_logits(
+            teacher_logits_fn, train_x, local_batch, int(config.num_classes))
+        if is_main:
+            print(f"teacher-logit cache: {logit_cache.shape[0]} x "
+                  f"{logit_cache.shape[1]} f32 "
+                  f"({logit_cache.nbytes / 1e6:.1f} MB) in "
+                  f"{time.time() - t_cache0:.1f}s — teacher leaves the hot "
+                  "loop")
+
+    def batches_with_teacher(it):
+        """Join the cached logits against each shuffled batch by index."""
+        for b in it:
+            b = dict(b)
+            b["teacher_logits"] = logit_cache[b["index"]]
+            yield b
+
     name = "distill_" + experiment_name(config)
     logdir = f"{getattr(config, 'checkpoint_dir', 'runs')}/{name}"
-    writer = MetricsWriter(logdir) if write_metrics else None
+    writer = MetricsWriter(logdir) if (write_metrics and is_main) else None
     ckpt = CheckpointManager(
         f"{logdir}/ckpt", max_to_keep=getattr(config, "keep_checkpoints", 3),
-        best_metric="neg_loss") if checkpoint else None
+        best_metric="accuracy") if checkpoint else None
+    if resume and ckpt and ckpt.latest_step is not None:
+        state = ckpt.restore(state)
+        if is_main:
+            print(f"resumed from step {int(state.step)}")
+
+    # preemption-aware save (mirrors train/loop.py:204-213): on SIGTERM/SIGINT
+    # finish the current step, checkpoint the full state, then stop
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # not the main thread (tests)
+            pass
 
     aug_key = jax.random.key(getattr(config, "random_seed", 42) + 2)
-    total_steps = 0
+    # resume continues the epoch count from the restored step (running the
+    # full config.epochs AGAIN would overtrain past the cosine schedule)
+    start_epoch = int(state.step) // steps_per_epoch
+    total_steps = int(state.step)
     t0 = time.time()
     done = False
     metrics = None
+    last_val = -1.0
     log_every = int(getattr(config, "log_every", 50))
-    for epoch in range(int(config.epochs)):
+    val_local_batch = max(1, int(getattr(config, "val_batch_size",
+                                         batch_size)) // pcount)
+    # resume determinism: fast-forward the epoch shuffles AND the aug key
+    # stream past the completed epochs so the data order continues exactly
+    for _ in range(start_epoch):
+        for _ in train_iter:
+            aug_key, _k = jax.random.split(aug_key)
+
+    for epoch in range(start_epoch, int(config.epochs)):
         if done:
             break
         pending = []  # device metrics, fetched in one batched D2H per window
-        for batch in prefetch_to_mesh(train_iter, mesh):
+        it = prefetch_to_mesh(
+            batches_with_teacher(train_iter) if cache_teacher else train_iter,
+            mesh)
+        for batch in it:
             raw = batch["image"]
             aug_key, k = jax.random.split(aug_key)
             img_student = augment(k, resize(raw))
-            teacher_logits = teacher_apply(teacher_view(raw))
+            if cache_teacher:
+                teacher_logits = batch["teacher_logits"]
+            else:
+                teacher_logits = teacher_logits_fn(raw)
             state, metrics = step_fn(state, img_student, teacher_logits,
                                      batch["label"])
             total_steps += 1
@@ -173,7 +307,8 @@ def distill_from_config(
                     writer.scalar("Batch Loss/Dist", m["loss_dist"], step_no)
                     writer.scalar("Batch Loss/CE", m["loss_ce"], step_no)
                 pending = []
-            if max_steps is not None and total_steps >= max_steps:
+            if preempted["flag"] or (max_steps is not None
+                                     and total_steps >= max_steps):
                 done = True
                 break
         if writer and pending:
@@ -182,15 +317,51 @@ def distill_from_config(
                 writer.scalar("Batch Loss/Dist", m["loss_dist"], step_no)
                 writer.scalar("Batch Loss/CE", m["loss_ce"], step_no)
             pending = []
+
+        # per-epoch student validation: sums accumulate ON DEVICE, one D2H
+        # (reuses the train loop's eval machinery, train/loop.py:260-274)
+        dev_sums = None
+        for vbatch in prefetch_to_mesh(
+                BatchIterator(val_x, val_y, val_local_batch, shuffle=False),
+                mesh):
+            images = eval_transform(vbatch["image"])
+            out = eval_step(state.params, state.buffers, images,
+                            vbatch["label"], vbatch["mask"])
+            dev_sums = out if dev_sums is None else jax.tree.map(
+                jnp.add, dev_sums, out)
+        if dev_sums is not None:
+            sums = jax.device_get(dev_sums)
+            val_acc = float(sums["correct"]) / max(float(sums["count"]), 1)
+            val_loss = float(sums["loss_sum"]) / max(float(sums["count"]), 1)
+        else:
+            val_acc, val_loss = 0.0, float("nan")
+        last_val = val_acc
+        if writer:
+            writer.scalar("Loss/Validation", val_loss, total_steps)
+            writer.scalar("Accuracy/Validation", val_acc, total_steps)
+            writer.flush()
+        if is_main and metrics is not None:
+            print(f"distill epoch {epoch + 1}/{int(config.epochs)} "
+                  f"step {total_steps} val loss {val_loss:.4f} "
+                  f"acc {val_acc:.4f}")
         if ckpt and metrics is not None:
-            ckpt.save(state, {"neg_loss": -float(jax.device_get(metrics)["loss"])})
+            ckpt.save(state, {"accuracy": val_acc,
+                              "neg_loss": -float(jax.device_get(metrics)["loss"])})
     if metrics is None:
-        raise RuntimeError("no training batches ran (empty dataset or "
-                           "epochs=0) — nothing to return")
+        raise RuntimeError("no training batches ran (empty dataset, epochs=0, "
+                           "or resume past the final epoch) — nothing to "
+                           "return")
     if ckpt:
+        if preempted["flag"]:
+            ckpt.save(state, {"accuracy": last_val})
+            if is_main:
+                print(f"preempted at step {total_steps}: state checkpointed, "
+                      "resume with --resume")
         ckpt.wait()
         ckpt.close()
     if writer:
         writer.scalar("Training time", time.time() - t0, total_steps)
         writer.close()
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     return state, jax.device_get(metrics)

@@ -22,6 +22,18 @@ _DTYPES = {
 }
 
 
+def resolve_dtype(name: str):
+    """Public config-string -> jnp dtype lookup (``compute_dtype`` /
+    ``param_dtype`` values). Raises a clear error for unknown names instead
+    of the bare KeyError a private-table lookup would give."""
+    try:
+        return _DTYPES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown dtype name {name!r}; expected one of {sorted(_DTYPES)}"
+        ) from None
+
+
 def build_model(config: SimpleNamespace):
     """Instantiate the configured model (linen module, not yet initialized)."""
     name = getattr(config, "model", "spectre_vit")

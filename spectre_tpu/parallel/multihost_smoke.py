@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--train-loop", action="store_true",
                    help="run train_from_config (full loop: sliced data, "
                         "prefetch, eval, metrics) instead of the bare step")
+    p.add_argument("--distill-loop", action="store_true",
+                   help="run distill_from_config (teacher-logit cache over "
+                        "per-process slices, dual views, KD+CE step, eval)")
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
@@ -93,6 +96,43 @@ def main(argv=None):
             "loss": -1.0,
             "step": int(jax.device_get(result.state.step)),
             "val_accuracy": result.last_val_accuracy,
+            "restore_exact": None,
+        }), flush=True)
+        return
+
+    if args.distill_loop:
+        # the REAL distillation loop across processes: per-process teacher
+        # logit cache (each process precomputes its own slice), dual views,
+        # fused KD+CE step, per-epoch masked student eval
+        from spectre_tpu.distill.loop import distill_from_config
+        from spectre_tpu.distill.teacher import (DinoClassifier,
+                                                 DinoVisionTransformer)
+
+        cfg = SimpleNamespace(
+            model="spectre_vit", method="permut_mix", dataset="mnist",
+            img_size=8, patch_size=4, in_channels=1, num_classes=10,
+            embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=24,
+            dropout=0.0, batch_size=4 * n_global, val_batch_size=4 * n_global,
+            epochs=1, learning_rate=1e-3, random_seed=0,
+            compute_dtype="float32",
+            checkpoint_dir=args.ckpt_dir or "runs",
+        )
+        teacher = DinoClassifier(
+            backbone=DinoVisionTransformer(img_size=16, patch_size=16,
+                                           embed_dim=32, depth=2, num_heads=2,
+                                           num_registers=2, variant="v3"),
+            num_classes=10)
+        tvars = teacher.init(jax.random.key(1), jnp.zeros((1, 3, 16, 16)))
+        state, metrics = distill_from_config(
+            cfg, synthetic=True, max_steps=2, teacher=teacher,
+            teacher_variables=tvars, write_metrics=False, checkpoint=False,
+            cache_teacher=True)  # explicit: exercise the per-process cache
+        print(json.dumps({
+            "process_id": args.process_id,
+            "process_count": jax.process_count(),
+            "global_devices": n_global,
+            "loss": float(metrics["loss"]),
+            "step": int(jax.device_get(state.step)),
             "restore_exact": None,
         }), flush=True)
         return

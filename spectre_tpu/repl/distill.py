@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--teacher-size", type=int, default=224)
     p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest distill checkpoint")
+    p.add_argument("--no-teacher-cache", action="store_true",
+                   help="recompute the frozen teacher every step instead of "
+                        "caching its logits once per run")
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -35,7 +40,8 @@ def main(argv=None):
     state, metrics = distill_from_config(
         config, max_steps=args.steps, synthetic=args.synthetic,
         teacher_img_size=args.teacher_size,
-        checkpoint=not args.no_checkpoint)
+        checkpoint=not args.no_checkpoint, resume=args.resume,
+        cache_teacher=False if args.no_teacher_cache else None)
     print(f"distill done: step {int(state.step)} loss {metrics['loss']:.4f} "
           f"(kd {metrics['loss_dist']:.4f} / ce {metrics['loss_ce']:.4f})")
     return state, metrics

@@ -91,24 +91,94 @@ def test_torch_state_dict_import(rng):
                                sd["blocks.0.ls1.gamma"])
 
 
-def test_distill_loop_smoke(tmp_path):
-    from spectre_tpu.distill.loop import distill_from_config
-    from spectre_tpu.distill.teacher import DinoClassifier
-
+def _tiny_distill_cfg(tmp_path, **over):
     cfg = SimpleNamespace(
         model="spectre_vit", method="permut_mix", dataset="mnist",
         img_size=8, patch_size=4, in_channels=1, num_classes=10,
         embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=32,
-        dropout=0.0, batch_size=8, epochs=1, learning_rate=1e-3,
-        random_seed=0, compute_dtype="float32", param_dtype="float32",
-        checkpoint_dir=str(tmp_path),
+        dropout=0.0, batch_size=8, val_batch_size=128, epochs=1,
+        learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+        param_dtype="float32", checkpoint_dir=str(tmp_path),
     )
-    teacher = DinoClassifier(backbone=tiny_teacher(img_size=16), num_classes=10)
-    x = jnp.zeros((1, 3, 16, 16))
-    tvars = teacher.init(jax.random.key(1), x)
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def _tiny_clf(img_size=16):
+    teacher = DinoClassifier(backbone=tiny_teacher(img_size=img_size),
+                             num_classes=10)
+    tvars = teacher.init(jax.random.key(1), jnp.zeros((1, 3, img_size, img_size)))
+    return teacher, tvars
+
+
+def test_distill_loop_smoke(tmp_path):
+    from spectre_tpu.distill.loop import distill_from_config
+
+    cfg = _tiny_distill_cfg(tmp_path)
+    teacher, tvars = _tiny_clf()
     state, metrics = distill_from_config(
         cfg, max_steps=2, synthetic=True, teacher=teacher,
         teacher_variables=tvars, write_metrics=False)
     assert int(state.step) == 2
     assert np.isfinite(metrics["loss"])
     assert {"loss_dist", "loss_ce"} <= set(metrics)
+
+
+def test_precompute_teacher_logits_matches_direct(rng):
+    """The chunked+padded cache pass must reproduce the per-batch teacher
+    logits exactly: every op in the teacher view/forward is independent
+    across the batch row axis, so chunk grouping cannot change per-sample
+    results."""
+    from spectre_tpu.distill.loop import precompute_teacher_logits
+
+    teacher, tvars = _tiny_clf()
+    x = rng.uniform(0, 1, (10, 3, 16, 16)).astype(np.float32)
+
+    @jax.jit
+    def fn(raw):
+        return teacher.apply(tvars, raw)
+
+    # batch 4 over 10 samples exercises the repeat-pad of the last chunk
+    cached = precompute_teacher_logits(fn, x, 4, 10)
+    direct = np.asarray(fn(jnp.asarray(x)), np.float32)
+    np.testing.assert_array_equal(cached, direct)
+
+
+def test_teacher_cache_identical_loss_sequence(tmp_path):
+    """Cache on vs per-step recompute: same teacher logits join each batch,
+    so the student sees identical inputs — the loss trajectory must match
+    bit-for-bit (VERDICT r2 #1 'identical loss sequence' done-condition)."""
+    from spectre_tpu.distill.loop import distill_from_config
+
+    teacher, tvars = _tiny_clf()
+    results = {}
+    for mode in (True, False):
+        cfg = _tiny_distill_cfg(tmp_path / f"c{mode}")
+        state, metrics = distill_from_config(
+            cfg, max_steps=3, synthetic=True, teacher=teacher,
+            teacher_variables=tvars, write_metrics=False, checkpoint=False,
+            cache_teacher=mode)
+        results[mode] = metrics
+    for key in ("loss", "loss_dist", "loss_ce"):
+        np.testing.assert_allclose(results[True][key], results[False][key],
+                                   rtol=0, atol=0)
+
+
+def test_distill_resume_continues(tmp_path):
+    """Kill-and-resume parity with the train loop (VERDICT r2 #4): a second
+    invocation with resume=True restores the latest checkpoint and continues
+    the step count instead of restarting from scratch."""
+    from spectre_tpu.distill.loop import distill_from_config
+
+    teacher, tvars = _tiny_clf()
+    cfg = _tiny_distill_cfg(tmp_path, epochs=2)
+    state1, _ = distill_from_config(
+        cfg, max_steps=2, synthetic=True, teacher=teacher,
+        teacher_variables=tvars, write_metrics=False)
+    assert int(state1.step) == 2
+    state2, metrics = distill_from_config(
+        cfg, max_steps=4, synthetic=True, teacher=teacher,
+        teacher_variables=tvars, write_metrics=False, resume=True)
+    assert int(state2.step) == 4
+    assert np.isfinite(metrics["loss"])

@@ -107,3 +107,26 @@ def test_two_process_full_train_loop(tmp_path):
         assert 0.0 <= o["val_accuracy"] <= 1.0
     # replicated eval: every process derives the same global val accuracy
     assert outs[0]["val_accuracy"] == outs[1]["val_accuracy"]
+
+
+def test_two_process_distill_loop(tmp_path):
+    """The REAL distill_from_config across 2 processes: per-process
+    teacher-logit cache (each process precomputes only its data slice),
+    sliced dual-view batches, fused KD+CE step, masked student eval."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(_spawn_worker(
+            [sys.executable, "-m", "spectre_tpu.parallel.multihost_smoke",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--ckpt-dir", str(tmp_path), "--distill-loop"], env, tmp_path, pid))
+    outs = [_await_worker(p, ef) for p, ef in procs]
+    for o in outs:
+        assert o["process_count"] == 2
+        assert o["step"] == 2
+    # SPMD: the KD+CE loss is a global reduction — identical on all processes
+    assert abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-6
