@@ -174,14 +174,44 @@ def test_structured_mix_gradients(rng):
 
 
 def test_flash_attention_gradients(rng):
-    q = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
+    """dQ/dK/dV from the fused flash-backward kernel (saved LSE + rowsum
+    trick, ops/pallas/attention.py::_bwd_kernel) must match jnp autodiff of
+    the einsum reference — the backward never re-runs the forward."""
+    b, h, n, dd = 2, 2, 17, 8
+    q = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    # a shifted cotangent (not symmetric in q/k) to catch transposed-operand
+    # mistakes in the five backward matmuls
+    w = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
 
     def ref(q_, k_, v_):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q_, k_) / np.sqrt(8)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_, k_) / np.sqrt(dd)
         return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v_)
 
-    gk = jax.grad(lambda q_: jnp.sum(flash_attention(q_, k, v, interpret=True) ** 2))(q)
-    gr = jax.grad(lambda q_: jnp.sum(ref(q_, k, v) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-4)
+    gk = jax.grad(
+        lambda q_, k_, v_: jnp.sum(w * flash_attention(q_, k_, v_, True)),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q_, k_, v_: jnp.sum(w * ref(q_, k_, v_)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"d{name}")
+
+
+def test_flash_attention_lse_residuals(rng):
+    """The forward must emit LSE statistics usable by the backward: check
+    exp(s - lse) reproduces the softmax rows exactly."""
+    from spectre_tpu.ops.pallas.attention import _forward
+
+    b, h, n, dd = 1, 2, 9, 8
+    q = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dd)).astype(np.float32))
+    out, lse = _forward(q, k, v, True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dd)
+    p = jnp.exp(s - lse.reshape(b, h, n, 1))
+    np.testing.assert_allclose(np.asarray(jnp.sum(p, -1)),
+                               np.ones((b, h, n)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, v)),
+                               np.asarray(out), rtol=1e-5, atol=1e-5)
