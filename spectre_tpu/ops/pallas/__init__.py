@@ -10,12 +10,14 @@ from spectre_tpu.ops.pallas.attention import flash_attention
 from spectre_tpu.ops.pallas.common import use_interpret
 from spectre_tpu.ops.pallas.fused_linear import fused_spectre_linear
 from spectre_tpu.ops.pallas.fwht import fwht_pallas
-from spectre_tpu.ops.pallas.structured_mix import structured_mix_pallas
+from spectre_tpu.ops.pallas.structured_mix import (pallas_path_taken,
+                                                   structured_mix_pallas)
 
 __all__ = [
     "use_interpret",
     "fused_spectre_linear",
     "fwht_pallas",
+    "pallas_path_taken",
     "structured_mix_pallas",
     "flash_attention",
 ]

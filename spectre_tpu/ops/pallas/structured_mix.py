@@ -37,6 +37,15 @@ from spectre_tpu.ops.permute import hadamard_matrix
 _TILE_B = 256
 
 
+def pallas_path_taken(batch: int, d: int, n_tiles: int) -> bool:
+    """True iff ``structured_mix_pallas`` will actually run the Mosaic kernel
+    for these dimensions (rather than silently taking the jnp reference path
+    for sub-tile shapes). Benchmark harnesses use this to LABEL fallback rows
+    — a 'pallas' timing that secretly measured XLA is misleading."""
+    t = d // n_tiles
+    return not (t % 128 or batch % 8)
+
+
 def _kernel(perm_ref, x_ref, h_ref, o_ref):
     o_ref[:] = jnp.dot(x_ref[:], h_ref[:],
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -49,7 +58,7 @@ def _forward(x, tile_perms, signs, token_dim, interpret):
     d = x2.shape[-1]
     H, n_tiles = tile_perms.shape
     t = d // n_tiles
-    if not interpret and (t % 128 or B % 8):
+    if not interpret and not pallas_path_taken(B, d, n_tiles):
         # Mosaic block rule: last two block dims must be (8, 128)-aligned.
         # Sub-tile shapes (small models/studies) take the jnp reference —
         # identical math, and XLA handles small shapes fine anyway.

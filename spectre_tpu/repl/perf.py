@@ -13,10 +13,12 @@ Capability parity with the reference benchmark scripts (SURVEY.md §6):
 - ``encoder``   one SpectreEncoderLayer step under jax.profiler ->
                 ProfilerParser table + plots/encoder_layer.csv
                 (test.py:154-179)
+- ``attention`` flash_attention kernel vs XLA einsum, forward AND fwd+bwd
+                (the explicit LSE-residual flash backward's decision row)
 - ``train``     full train-step throughput for a config, Pallas on/off and
                 gather/structured — the tuning harness for bench.py
 
-    python -m spectre_tpu.repl.perf latency|linear|mixer|encoder|train [--config ...]
+    python -m spectre_tpu.repl.perf latency|linear|mixer|encoder|attention|train [--config ...]
 """
 
 from __future__ import annotations
@@ -126,7 +128,8 @@ def cmd_mixer(args):
     from spectre_tpu.ops import (
         fft2_real_matmul, make_mix_tables, make_structured_tables,
         permut_mix, structured_mix)
-    from spectre_tpu.ops.pallas import structured_mix_pallas, use_interpret
+    from spectre_tpu.ops.pallas import (pallas_path_taken,
+                                        structured_mix_pallas, use_interpret)
 
     heads = args.heads
     floor = _dispatch_floor()
@@ -154,8 +157,44 @@ def cmd_mixer(args):
             t_sp = _time_fn(
                 jax.jit(partial(structured_mix_pallas, token_dim=n)),
                 x, tperms, ssigns, warmup=args.warmup, iters=args.iters)
-            row += f" | structured-pallas {_fmt(t_sp, floor)}"
+            # sub-tile shapes silently reroute to the XLA formulation
+            # (structured_mix.py) — label them so 'pallas' rows never
+            # secretly report XLA numbers
+            tag = ("structured-pallas" if
+                   pallas_path_taken(args.batch, d, int(tperms.shape[1]))
+                   else "structured-pallas(xla-fallback)")
+            row += f" | {tag} {_fmt(t_sp, floor)}"
         print(row)
+
+
+def cmd_attention(args):
+    """flash_attention (Pallas, fused fwd + flash bwd) vs the XLA einsum
+    reference, forward-only AND fwd+bwd — the training-relevant number
+    (the round-2 kernel's backward re-ran the forward; this measures the
+    explicit LSE-residual backward)."""
+    from spectre_tpu.ops.pallas import use_interpret
+    from spectre_tpu.ops.pallas.attention import _reference, flash_attention
+
+    floor = _dispatch_floor()
+    b, h, dd = args.batch, args.heads, 64
+    print(f"attention B={b} H={h} D={dd} bf16, avg ms/iter "
+          f"(dispatch floor {floor * 1e3:.3f} ms)"
+          + (" [INTERPRET — not a perf run]" if use_interpret() else ""))
+    rng = np.random.default_rng(0)
+    for n in (65, 256, 1024):
+        q, k, v, w = (jnp.asarray(rng.standard_normal((b, h, n, dd)),
+                                  jnp.bfloat16) for _ in range(4))
+
+        for name, fn in (("pallas", flash_attention), ("xla", _reference)):
+            fwd = jax.jit(lambda q_, k_, v_, f=fn: f(q_, k_, v_))
+            gfn = jax.jit(jax.grad(
+                lambda q_, k_, v_, f=fn: jnp.sum(
+                    (w * f(q_, k_, v_)).astype(jnp.float32)),
+                argnums=(0, 1, 2)))
+            t_f = _time_fn(fwd, q, k, v, warmup=args.warmup, iters=args.iters)
+            t_b = _time_fn(gfn, q, k, v, warmup=args.warmup, iters=args.iters)
+            print(f"  N={n} {name}: fwd {_fmt(t_f, floor)} | "
+                  f"fwd+bwd {_fmt(t_b, floor)}")
 
 
 def cmd_encoder(args):
@@ -201,22 +240,30 @@ def cmd_train(args):
         step = make_train_step(model, augment_fn=augment)
 
         # donated-state chains serialize dispatch, so an end-of-loop scalar
-        # fetch is a truthful barrier here (bench.py uses the same method)
+        # fetch is a truthful barrier here (bench.py uses the same method) —
+        # but a SINGLE window still carries the constant ~30 ms tunnel fetch
+        # in its average; two-point slope timing cancels it (the repo-wide
+        # discipline, _time_fn/bench.py)
         for _ in range(args.warmup):
             state, m = step(state, images, labels)
         np.asarray(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, m = step(state, images, labels)
-        np.asarray(m["loss"])
-        dt = (time.perf_counter() - t0) / args.iters
+        n1 = max(2, args.iters // 5)
+        times = []
+        for n in (n1, args.iters):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = step(state, images, labels)
+            np.asarray(m["loss"])
+            times.append(time.perf_counter() - t0)
+        dt = (times[1] - times[0]) / (args.iters - n1)
         print(f"  pallas={int(use_pallas)} mix={mix_impl}: {dt * 1e3:.2f} ms/step "
               f"({b / dt:.0f} img/s)")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("cmd", choices=["latency", "linear", "mixer", "encoder", "train"])
+    p.add_argument("cmd", choices=["latency", "linear", "mixer", "encoder",
+                                   "attention", "train"])
     p.add_argument("--config", default="spectre_tpu/configs/spectre_vit_cifar100.py")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--embed-dim", dest="embed_dim", type=int, default=512)
@@ -229,7 +276,8 @@ def main(argv=None):
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
     {"latency": cmd_latency, "linear": cmd_linear, "mixer": cmd_mixer,
-     "encoder": cmd_encoder, "train": cmd_train}[args.cmd](args)
+     "encoder": cmd_encoder, "attention": cmd_attention,
+     "train": cmd_train}[args.cmd](args)
 
 
 if __name__ == "__main__":
