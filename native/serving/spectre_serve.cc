@@ -36,8 +36,10 @@
 // for same-host clients) on stdout once ready.
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <sys/file.h>
 #include <sys/socket.h>
 #include <sys/stat.h>
 #include <sys/un.h>
@@ -302,6 +304,20 @@ int main(int argc, char** argv) {
     sock = ::socket(AF_UNIX, SOCK_STREAM, 0);
     uaddr.sun_family = AF_UNIX;
     std::strncpy(uaddr.sun_path, path.c_str(), sizeof(uaddr.sun_path) - 1);
+    // Serialize the probe+unlink+bind sequence below across concurrently
+    // starting servers: without it, two servers racing on the same stale
+    // socket path can both pass the liveness probe, and the second's unlink
+    // orphans the first's freshly bound socket (TOCTOU). A sidecar flock
+    // held for the daemon's lifetime makes the sequence exclusive; the fd
+    // deliberately never closes (the lock dies with the process, so a
+    // killed server leaves no stale lock).
+    const std::string lock_path = path + ".lock";
+    int lock_fd = ::open(lock_path.c_str(), O_CREAT | O_RDWR, 0600);
+    if (lock_fd < 0 || ::flock(lock_fd, LOCK_EX | LOCK_NB) != 0) {
+      std::cerr << "--uds another server is starting/running on " << path
+                << " (lock " << lock_path << ")\n";
+      return 2;
+    }
     // Only remove a STALE socket: never delete a non-socket file (a typo'd
     // --uds path must not destroy data), and never hijack a path another
     // live server is accepting on (probe with a connect; TCP gets the same

@@ -50,6 +50,9 @@ def test_perm_rows_backward_is_scatter_free():
 # out_channels chosen to hit each pool-residual branch: grouped mean
 # (in % out == 0), torch-adaptive matrix (non-divisible), identity-group
 # (in == out via grp == 1 is impossible for H > 1, so grp > 1 covers it).
+# Batch MUST be >= 8: below that MHPermutMix reroutes folded->gather at
+# trace time (layers.py — tiny-batch compile pathology), and the test would
+# compare the gather path against itself (round-2 advisor finding).
 @pytest.mark.parametrize("out_channels", [16, 24, 27, 64])
 def test_folded_matches_gather_forward_and_grads(out_channels):
     kw = dict(embed_dim=16, token_dim=8, num_heads=4,
@@ -57,8 +60,19 @@ def test_folded_matches_gather_forward_and_grads(out_channels):
     m_ref = MHPermutMix(impl="gather", **kw)
     m_fold = MHPermutMix(impl="folded", **kw)
     x = jnp.asarray(np.random.default_rng(1).standard_normal(
-        (3, 8, 16)).astype(np.float32))
+        (16, 8, 16)).astype(np.float32))
     v = m_ref.init(jax.random.key(7), x)
+
+    # the folded branch must actually be TAKEN at this batch: its lowered
+    # program differs from the gather path's (at B < 8 they are identical
+    # by design — the reroute)
+    hlo_fold = jax.jit(m_fold.apply).lower(v, x).as_text()
+    hlo_gather = jax.jit(m_ref.apply).lower(v, x).as_text()
+    assert hlo_fold != hlo_gather, "folded impl silently rerouted to gather"
+    x_small = x[:3]
+    assert (jax.jit(m_fold.apply).lower(v, x_small).as_text()
+            == jax.jit(m_ref.apply).lower(v, x_small).as_text()), \
+        "sub-8 batch should reroute folded->gather"
 
     # identical variable tree: checkpoints interchange between impls
     v2 = m_fold.init(jax.random.key(7), x)
@@ -68,7 +82,7 @@ def test_folded_matches_gather_forward_and_grads(out_channels):
 
     np.testing.assert_allclose(np.asarray(m_ref.apply(v, x)),
                                np.asarray(m_fold.apply(v, x)),
-                               atol=1e-6, rtol=1e-6)
+                               atol=1e-5, rtol=1e-5)
 
     def loss(mod, p):
         return jnp.sum(mod.apply({**v, "params": p}, x) ** 2)
@@ -76,29 +90,35 @@ def test_folded_matches_gather_forward_and_grads(out_channels):
     g_ref = jax.grad(lambda p: loss(m_ref, p))(v["params"])
     g_fold = jax.grad(lambda p: loss(m_fold, p))(v["params"])
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fold)):
+        # measured param-grad divergence up to ~6e-5 at B=16 (different but
+        # equivalent reduction orders in the reassociated dW GEMM)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=1e-5)
+                                   atol=1e-4, rtol=1e-4)
 
     gx_ref = jax.grad(lambda xx: jnp.sum(m_ref.apply(v, xx) ** 2))(x)
     gx_fold = jax.grad(lambda xx: jnp.sum(m_fold.apply(v, xx) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gx_fold), np.asarray(gx_ref),
-                               atol=2e-5, rtol=1e-5)
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_folded_full_model_matches_gather():
-    """End-to-end SpectreViT: same checkpoint, same logits under both impls."""
+    """End-to-end SpectreViT: same checkpoint, same logits under both impls.
+    Batch 16 keeps the folded branch live (see reroute note above)."""
     from spectre_tpu.models import SpectreViT
 
     kw = dict(img_size=16, patch_size=4, in_channels=3, num_classes=10,
               embed_dim=32, num_encoders=2, num_heads=4, hidden_dim=48,
               dropout=0.0)
     x = jnp.asarray(np.random.default_rng(2).uniform(
-        0, 1, (2, 3, 16, 16)).astype(np.float32))
+        0, 1, (16, 3, 16, 16)).astype(np.float32))
     m_ref = SpectreViT(mix_impl="gather", **kw)
     m_fold = SpectreViT(mix_impl="folded", **kw)
     v = m_ref.init(jax.random.key(3), x)
     assert (jax.tree.structure(v)
             == jax.tree.structure(m_fold.init(jax.random.key(3), x)))
+    assert (jax.jit(m_fold.apply).lower(v, x).as_text()
+            != jax.jit(m_ref.apply).lower(v, x).as_text()), \
+        "folded impl silently rerouted to gather"
     np.testing.assert_allclose(np.asarray(m_ref.apply(v, x)),
                                np.asarray(m_fold.apply(v, x)),
                                atol=1e-5, rtol=1e-5)

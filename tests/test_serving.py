@@ -63,13 +63,15 @@ def test_serving_over_unix_domain_socket(served, tmp_path):
                 client.infer(np.zeros((1, 3, 16, 16), np.float32))
             np.testing.assert_allclose(client.infer(x), want,
                                        rtol=1e-4, atol=1e-4)
-        # a second server must NOT hijack the live socket
+        # a second server must NOT hijack the live socket: the sidecar
+        # flock (held for the daemon's lifetime) rejects it before the
+        # probe+unlink+bind sequence even starts
         from spectre_tpu.serving.client import SERVER_BIN
         r = subprocess.run(
             [SERVER_BIN, "--weights", f"{outdir}/weights.stw",
              "--meta", f"{outdir}/meta.txt", "--uds", path],
             capture_output=True, text=True, timeout=30)
-        assert r.returncode != 0 and "live server" in r.stderr
+        assert r.returncode != 0 and "another server" in r.stderr
         with SpectreClient(uds=path) as client:  # original still serving
             np.testing.assert_allclose(client.infer(x), want,
                                        rtol=1e-4, atol=1e-4)
