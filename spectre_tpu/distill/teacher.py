@@ -44,8 +44,21 @@ class _Mlp(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
+def rope_periods_from_base(head_dim: int, base: float = 100.0,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Default geometric rotation periods, [D/4]: period_i = base^(2i/(D/2)).
+
+    The real ``dinov3_*`` checkpoints ship these as the ``rope_embed.periods``
+    buffer (the dinov3 RopePositionEmbedding supports base- OR min/max-period
+    spacing, so the buffer is authoritative); this is the base-spaced default
+    that matches ``base=100``. ``freqs = 1 / periods``.
+    """
+    dh = head_dim // 2
+    return base ** (jnp.arange(dh // 2, dtype=dtype) * 2.0 / dh)
+
+
 def rope_2d_angles(n_side: int, head_dim: int, base: float = 100.0,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, periods=None):
     """Axial 2D RoPE tables for an n_side x n_side patch grid.
 
     DINOv3 drops the learned absolute position embedding in favor of rotary
@@ -54,13 +67,17 @@ def rope_2d_angles(n_side: int, head_dim: int, base: float = 100.0,
     tests/test_distill_rope.py): patch-center coordinates normalized to
     [-1, 1] per axis; the head dim D splits into an x-half and a y-half;
     within each half, consecutive pairs (2i, 2i+1) rotate by
-    ``coord * base**(-2i/(D/2))``. Returns (cos, sin), each [N, D].
+    ``coord / periods[i]`` (default periods ``base**(2i/(D/2))``, i.e.
+    angle = coord * base**(-2i/(D/2))). Pass ``periods`` ([D/4]) to use a
+    checkpoint's own ``rope_embed.periods`` buffer. Returns (cos, sin),
+    each [N, D].
     """
     coords = (jnp.arange(n_side, dtype=dtype) + 0.5) / n_side * 2.0 - 1.0
     yy, xx = jnp.meshgrid(coords, coords, indexing="ij")
     pos = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # [N, 2]
-    dh = head_dim // 2  # per-axis half
-    freqs = base ** (-jnp.arange(dh // 2, dtype=dtype) * 2.0 / dh)  # [D/4]
+    if periods is None:
+        periods = rope_periods_from_base(head_dim, base, dtype)
+    freqs = 1.0 / jnp.asarray(periods, dtype=dtype)  # [D/4]
     ang = pos[:, :, None] * freqs[None, None, :]  # [N, 2, D/4]
     ang = jnp.repeat(ang, 2, axis=-1)  # pair duplication -> [N, 2, D/2]
     ang = ang.reshape(ang.shape[0], head_dim)  # x-half then y-half
@@ -91,6 +108,9 @@ class _RopeAttention(nn.Module):
     num_heads: int
     num_prefix: int  # tokens that do NOT get rotated (CLS + registers)
     rope_base: float = 100.0
+    # checkpoint-authoritative rotation periods (dinov3 rope_embed.periods);
+    # None -> base-spaced default. Tuple: static module config, hashable.
+    rope_periods: tuple | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +126,10 @@ class _RopeAttention(nn.Module):
 
         n_patch = N - self.num_prefix
         n_side = int(round(n_patch ** 0.5))
-        cos, sin = rope_2d_angles(n_side, dh, self.rope_base, jnp.float32)
+        periods = (jnp.asarray(self.rope_periods, jnp.float32)
+                   if self.rope_periods is not None else None)
+        cos, sin = rope_2d_angles(n_side, dh, self.rope_base, jnp.float32,
+                                  periods=periods)
         cos = cos.astype(q.dtype)
         sin = sin.astype(q.dtype)
 
@@ -129,6 +152,7 @@ class _Block(nn.Module):
     layerscale_init: float = 1e-5
     use_rope: bool = False
     num_prefix: int = 0
+    rope_periods: tuple | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,6 +161,7 @@ class _Block(nn.Module):
         if self.use_rope:
             h = _RopeAttention(dim=self.dim, num_heads=self.num_heads,
                                num_prefix=self.num_prefix, dtype=self.dtype,
+                               rope_periods=self.rope_periods,
                                name="attn")(h)
         else:
             h = nn.MultiHeadDotProductAttention(
@@ -174,6 +199,9 @@ class DinoVisionTransformer(nn.Module):
     num_heads: int = 6
     num_registers: int = 4
     variant: str = "v3"
+    # rotation periods from a real checkpoint's rope_embed.periods buffer
+    # (None -> base-100 geometric default, rope_periods_from_base)
+    rope_periods: tuple | None = None
     dtype: Dtype = jnp.float32
 
     def forward_features(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
@@ -215,6 +243,7 @@ class DinoVisionTransformer(nn.Module):
             tokens = _Block(dim=E, num_heads=self.num_heads, dtype=self.dtype,
                             use_rope=use_rope,
                             num_prefix=1 + self.num_registers,
+                            rope_periods=self.rope_periods,
                             name=f"block_{i}")(tokens)
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
         return {
@@ -335,8 +364,37 @@ def _torch_key_map(flax_params: dict, sd: dict[str, np.ndarray]) -> dict:
 
 
 def import_torch_state_dict(model: DinoVisionTransformer, params, sd: dict):
-    """Load torch DINO weights into ``params``; returns (params, unused_keys)."""
+    """Load torch DINO weights into ``params``; returns (params, unused_keys).
+
+    Two real-checkpoint keys are consumed WITHOUT landing in params:
+
+    - ``mask_token``: the masked-image-modeling token; inference-time
+      ``forward_features`` never reads it, so it is deliberately dropped.
+    - ``rope_embed.periods``: the checkpoint-authoritative RoPE rotation
+      periods (dinov3's RopePositionEmbedding supports base- or
+      min/max-period spacing, so the buffer — not a base constant — defines
+      the frequencies). The model computes its tables statically, so this
+      importer VALIDATES the buffer against the model's effective periods
+      and raises with the fix (rebuild with ``rope_periods=tuple(...)`` —
+      load_teacher does this automatically) on mismatch, rather than
+      silently running a teacher with wrong rotary frequencies.
+    """
     new_params, used = _torch_key_map(params, sd)
+    if "mask_token" in sd:
+        used.add("mask_token")
+    if "rope_embed.periods" in sd:
+        arr = np.asarray(sd["rope_embed.periods"], np.float32).reshape(-1)
+        dh = model.embed_dim // model.num_heads
+        eff = (np.asarray(model.rope_periods, np.float32)
+               if model.rope_periods is not None
+               else np.asarray(rope_periods_from_base(dh), np.float32))
+        if arr.shape != eff.shape or not np.allclose(arr, eff, rtol=1e-5):
+            raise ValueError(
+                "checkpoint rope_embed.periods differ from the model's "
+                f"(ckpt {arr.shape}, model {eff.shape}); rebuild the "
+                "backbone with rope_periods=tuple(ckpt_periods) — "
+                "load_teacher does this automatically from the npz")
+        used.add("rope_embed.periods")
     unused = sorted(set(sd) - used)
     return new_params, unused
 
@@ -357,15 +415,25 @@ def load_teacher(num_classes: int, img_size: int = 224, seed: int = 0,
     compute_dtype (bf16 by default — softmax statistics stay f32 inside the
     attention block); the f32 default here keeps the torch-oracle parity
     tests exact."""
+    path = weights_path or os.environ.get("SPECTRE_TEACHER_WEIGHTS")
+    sd = None
+    rope_periods = None
+    if path and os.path.exists(path):
+        sd = dict(np.load(path))
+        if "rope_embed.periods" in sd:
+            # the checkpoint's periods buffer is authoritative (base- OR
+            # min/max-spaced); build the backbone around it
+            rope_periods = tuple(
+                np.asarray(sd["rope_embed.periods"], np.float32)
+                .reshape(-1).tolist())
+
     backbone = DinoVisionTransformer(img_size=img_size, variant=variant,
-                                     dtype=dtype)
+                                     rope_periods=rope_periods, dtype=dtype)
     clf = DinoClassifier(backbone=backbone, num_classes=num_classes)
     x = jnp.zeros((1, 3, img_size, img_size))
     variables = clf.init(jax.random.key(seed), x)
 
-    path = weights_path or os.environ.get("SPECTRE_TEACHER_WEIGHTS")
-    if path and os.path.exists(path):
-        sd = dict(np.load(path))
+    if sd is not None:
         bb_params = variables["params"]["backbone"]
         new_bb, unused = import_torch_state_dict(backbone, bb_params, sd)
         variables = {"params": {**variables["params"], "backbone": new_bb}}

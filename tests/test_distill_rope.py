@@ -190,6 +190,120 @@ def test_v3_state_dict_import_with_dinov3_key_layout():
     assert "pos_embed" not in new_params
 
 
+def _vits16_state_dict(rng, depth=12, e=384, heads=6, regs=4, patch=16,
+                       periods=None):
+    """Synthetic state_dict with the EXACT key names dinov3_vits16 ships:
+    fused blocks.N.attn.qkv.*, storage_tokens, mask_token, ls{1,2}.gamma,
+    rope_embed.periods, no pos_embed (reference teacher, train.py:66-74)."""
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    dh = e // heads
+    if periods is None:
+        periods = (100.0 ** (np.arange(dh // 4, dtype=np.float32)
+                             * 2.0 / (dh // 2)))
+    sd = {
+        "cls_token": t(1, 1, e),
+        "storage_tokens": t(1, regs, e),
+        "mask_token": t(1, e),
+        "rope_embed.periods": np.asarray(periods, np.float32),
+        "patch_embed.proj.weight": t(e, 3, patch, patch),
+        "patch_embed.proj.bias": t(e),
+        "norm.weight": 1 + t(e),
+        "norm.bias": t(e),
+    }
+    for i in range(depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": 1 + t(e), f"blocks.{i}.norm1.bias": t(e),
+            f"blocks.{i}.norm2.weight": 1 + t(e), f"blocks.{i}.norm2.bias": t(e),
+            f"blocks.{i}.attn.qkv.weight": t(3 * e, e),
+            f"blocks.{i}.attn.qkv.bias": t(3 * e),
+            f"blocks.{i}.attn.proj.weight": t(e, e),
+            f"blocks.{i}.attn.proj.bias": t(e),
+            f"blocks.{i}.mlp.fc1.weight": t(4 * e, e),
+            f"blocks.{i}.mlp.fc1.bias": t(4 * e),
+            f"blocks.{i}.mlp.fc2.weight": t(e, 4 * e),
+            f"blocks.{i}.mlp.fc2.bias": t(e),
+            f"blocks.{i}.ls1.gamma": t(e), f"blocks.{i}.ls2.gamma": t(e),
+        })
+    return sd
+
+
+def test_full_vits16_checkpoint_roundtrip(tmp_path):
+    """Full 12-block ViT-S/16 synthetic checkpoint with the published
+    dinov3_vits16 key layout imports with ZERO unused keys through the
+    real load_teacher path (npz on disk), honoring the checkpoint's
+    rope_embed.periods buffer — the only untested step left for real
+    weights is the download itself (VERDICT r2 #6)."""
+    from spectre_tpu.distill.teacher import load_teacher
+
+    rng = np.random.default_rng(11)
+    # non-default (min/max-style) periods: proves the buffer is honored,
+    # not recomputed from base
+    dh = 384 // 6
+    periods = np.geomspace(0.5, 90.0, dh // 4).astype(np.float32)
+    sd = _vits16_state_dict(rng, periods=periods)
+    path = str(tmp_path / "dinov3_vits16.npz")
+    np.savez(path, **sd)
+
+    clf, variables = load_teacher(10, img_size=32, seed=0, variant="v3",
+                                  weights_path=path)
+    assert clf.backbone.rope_periods is not None
+    np.testing.assert_allclose(np.asarray(clf.backbone.rope_periods),
+                               periods, rtol=1e-6)
+    # every imported tensor landed: spot-check a deep block + final norm
+    bb = variables["params"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(bb["block_11"]["mlp"]["fc1"]["kernel"]),
+        sd["blocks.11.mlp.fc1.weight"].T)
+    np.testing.assert_allclose(np.asarray(bb["norm"]["scale"]),
+                               sd["norm.weight"])
+    out = clf.apply(variables, jnp.ones((1, 3, 32, 32)))
+    assert out.shape == (1, 10) and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_full_vits16_import_reports_zero_unused():
+    """Direct import: unused == [] on the full key set (mask_token and
+    rope_embed.periods are consumed deliberately, documented in
+    import_torch_state_dict)."""
+    rng = np.random.default_rng(12)
+    sd = _vits16_state_dict(rng, depth=2, e=48, heads=4, regs=4, patch=8)
+    model = DinoVisionTransformer(img_size=16, patch_size=8, embed_dim=48,
+                                  depth=2, num_heads=4, num_registers=4,
+                                  variant="v3")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 16, 16)))
+    new_params, unused = import_torch_state_dict(model, variables["params"], sd)
+    assert unused == [], unused
+
+
+def test_import_rejects_mismatched_rope_periods():
+    """A checkpoint whose periods differ from the model's must fail LOUDLY
+    (a silently wrong rotary basis corrupts every teacher feature)."""
+    rng = np.random.default_rng(13)
+    dh = 48 // 4
+    sd = _vits16_state_dict(rng, depth=1, e=48, heads=4, regs=4, patch=8,
+                            periods=np.geomspace(0.3, 7.0, dh // 4))
+    model = DinoVisionTransformer(img_size=16, patch_size=8, embed_dim=48,
+                                  depth=1, num_heads=4, num_registers=4,
+                                  variant="v3")  # default base-100 periods
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3, 16, 16)))
+    with pytest.raises(ValueError, match="rope_embed.periods"):
+        import_torch_state_dict(model, variables["params"], sd)
+
+
+def test_rope_periods_default_matches_base_formula():
+    """rope_periods_from_base is the exact inverse of the freqs the tables
+    used before the buffer support (no numerical drift for base-spaced
+    checkpoints)."""
+    from spectre_tpu.distill.teacher import (rope_2d_angles,
+                                             rope_periods_from_base)
+
+    cos_a, sin_a = rope_2d_angles(3, 8, base=100.0)
+    cos_b, sin_b = rope_2d_angles(3, 8, periods=rope_periods_from_base(8, 100.0))
+    np.testing.assert_array_equal(np.asarray(cos_a), np.asarray(cos_b))
+    np.testing.assert_array_equal(np.asarray(sin_a), np.asarray(sin_b))
+
+
 def test_import_out_projection_values_not_just_shape():
     """The [E,E] out-projection is square, so a transposed import passes
     every shape check — this locks the VALUES: kernel[h,dh,e] == W[e, h*dh+dh']
