@@ -38,7 +38,8 @@ _META_KEYS = ("img_size", "patch_size", "in_channels", "num_classes",
 
 
 def export_from_config(config, checkpoint: str | None = None,
-                       outdir: str = "export", batch: int = 2):
+                       outdir: str = "export", batch: int = 2,
+                       onnx: bool = False):
     os.makedirs(outdir, exist_ok=True)
     model = build_model(config)
     x = np.random.default_rng(0).uniform(
@@ -80,6 +81,16 @@ def export_from_config(config, checkpoint: str | None = None,
     logits.tofile(os.path.join(outdir, "example_logits.f32"))
     print(f"exported to {outdir}/ (stablehlo parity max|delta|={err:.2e}, "
           f"{logits.shape[0]} example logits)")
+    if onnx:
+        # best-effort bridge for .onnx-only consumers; StableHLO+.stw is
+        # the committed artifact surface (PARITY.md / export/onnx_bridge.py)
+        from spectre_tpu.export.onnx_bridge import export_onnx
+
+        onnx_err = export_onnx(model, variables, jax.numpy.asarray(x),
+                               os.path.join(outdir, "model.onnx"))
+        detail = ("replay max|delta|=%.2e" % onnx_err if onnx_err is not None
+                  else "onnxruntime absent; replay skipped")
+        print(f"onnx written ({detail})")
     return outdir
 
 
@@ -90,6 +101,9 @@ def main(argv=None):
                    help="orbax checkpoint dir (best/latest restored)")
     p.add_argument("--outdir", default="export")
     p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--onnx", action="store_true",
+                   help="also write model.onnx via jax2tf->tf2onnx (needs "
+                        "tf2onnx/onnx installed; see PARITY.md stance)")
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -97,7 +111,8 @@ def main(argv=None):
 
     enable_compilation_cache()
     config = apply_overrides(parse_config(args.config), args.set)
-    return export_from_config(config, args.checkpoint, args.outdir, args.batch)
+    return export_from_config(config, args.checkpoint, args.outdir,
+                              args.batch, onnx=args.onnx)
 
 
 if __name__ == "__main__":

@@ -1,3 +1,4 @@
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,3 +54,32 @@ def test_weights_bin_roundtrip(tmp_path):
     assert total_ref == total_loaded
     for name, arr in loaded.items():
         assert np.isfinite(arr).all() or arr.dtype == np.int32
+
+
+def test_onnx_bridge_states_stance_when_toolchain_absent(tmp_path, rng):
+    """The --onnx bridge either converts (tf2onnx installed) or raises the
+    documented artifact stance — never silently skips. In this image
+    tf2onnx is absent, so the RuntimeError path is the one exercised; when
+    the toolchain exists the same call must produce model.onnx."""
+    import pytest
+
+    from spectre_tpu.export.onnx_bridge import export_onnx
+    from spectre_tpu.models import SpectreViT
+
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=3, num_classes=5,
+                       embed_dim=16, num_encoders=1, num_heads=2,
+                       hidden_dim=24, dropout=0.0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 8, 8)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    path = str(tmp_path / "model.onnx")
+    try:
+        import tf2onnx  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if have:
+        export_onnx(model, variables, x, path)
+        assert os.path.exists(path)
+    else:
+        with pytest.raises(RuntimeError, match="StableHLO"):
+            export_onnx(model, variables, x, path)
