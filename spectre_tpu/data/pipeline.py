@@ -41,6 +41,13 @@ class BatchIterator:
         n, b = self.num_examples, self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
+    def skip_epoch(self):
+        """Advance the shuffle RNG exactly one epoch WITHOUT materializing
+        batches (consumes the same stream __iter__ would) — resume paths
+        fast-forward data order this way."""
+        if self.shuffle:
+            self._rng.shuffle(np.arange(self.num_examples))
+
     def __iter__(self) -> Iterator[dict]:
         idx = np.arange(self.num_examples)
         if self.shuffle:

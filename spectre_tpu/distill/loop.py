@@ -275,7 +275,8 @@ def distill_from_config(
     # resume determinism: fast-forward the epoch shuffles AND the aug key
     # stream past the completed epochs so the data order continues exactly
     for _ in range(start_epoch):
-        for _ in train_iter:
+        train_iter.skip_epoch()
+        for _ in range(steps_per_epoch):
             aug_key, _k = jax.random.split(aug_key)
 
     for epoch in range(start_epoch, int(config.epochs)):
