@@ -66,7 +66,19 @@ def main(argv=None):
     p.add_argument("--heads", type=int, default=16)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--pallas", action="store_true",
+                   help="also time the scalar-prefetch double-buffered "
+                        "row-DMA Pallas kernel (ops/pallas/bwd_gather.py)")
+    p.add_argument("--rows", type=int, nargs="*", default=[64, 256, 1024],
+                   help="rows-per-program sweep for --pallas")
+    p.add_argument("--routed", action="store_true",
+                   help="also time the 3-stage Clos routing formulation "
+                        "(ops/routing.py: the permutation as batched one-hot "
+                        "MXU contractions — no sub-tile row access at all)")
     args = p.parse_args(argv)
+    from spectre_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # remote compiles here run minutes; cache them
     h, d, b = args.heads, args.d, args.batch
     rng = np.random.default_rng(0)
     _, inv = make_tables(rng, h, d)
@@ -80,6 +92,51 @@ def main(argv=None):
         t = _time_fn(f, g, inv, iters=args.iters)
         print(f"  {name:18s}: {t * 1e3:7.3f} ms  "
               f"({bytes_min / t / 2**30:7.1f} GiB/s effective)")
+    if args.pallas:
+        from spectre_tpu.ops.pallas.bwd_gather import (
+            inverse_gather_sum_pallas, inverse_gather_sum_reference)
+
+        ref = np.asarray(inverse_gather_sum_reference(g, inv),
+                         dtype=np.float32)
+        for r in args.rows:
+            f = jax.jit(functools.partial(inverse_gather_sum_pallas,
+                                          rows_per_program=r))
+            got = np.asarray(f(g, inv), dtype=np.float32)
+            # bf16 sum-order tolerance (kernel accumulates f32, XLA chain bf16)
+            err = np.max(np.abs(got - ref))
+            t = _time_fn(f, g, inv, iters=args.iters)
+            print(f"  pallas r={r:<5d}     : {t * 1e3:7.3f} ms  "
+                  f"({bytes_min / t / 2**30:7.1f} GiB/s effective, "
+                  f"max|diff| {err:.3g})")
+    if args.routed:
+        import time
+
+        from spectre_tpu.ops.routing import (build_route_tables,
+                                             route_gather_sum,
+                                             route_gather_sum_mxu,
+                                             route_onehots)
+
+        ref = np.asarray(per_head(g, inv, h=h, d=d), dtype=np.float32)
+        t0 = time.perf_counter()
+        rt = build_route_tables(np.asarray(inv))
+        print(f"  route tables (host, one-time): {time.perf_counter() - t0:.1f} s "
+              f"r={rt.r} c={rt.c}")
+        oh = route_onehots(rt, dtype=g.dtype)
+        masks_gib = sum(o.nbytes for o in oh) / 2**30
+        f = jax.jit(route_gather_sum_mxu)
+        got = np.asarray(f(g, *oh), dtype=np.float32)
+        err = np.max(np.abs(got - ref))
+        t = _time_fn(f, g, *oh, iters=args.iters)
+        print(f"  routed mxu (3 einsums, {masks_gib:.2f} GiB resident masks)"
+              f": {t * 1e3:7.3f} ms  ({bytes_min / t / 2**30:7.1f} GiB/s "
+              f"effective, max|diff| {err:.3g})")
+        f2 = jax.jit(functools.partial(route_gather_sum, rt=rt))
+        got = np.asarray(f2(g), dtype=np.float32)
+        err = np.max(np.abs(got - ref))
+        t = _time_fn(f2, g, iters=args.iters)
+        print(f"  routed takes (3 gathers)     : {t * 1e3:7.3f} ms  "
+              f"({bytes_min / t / 2**30:7.1f} GiB/s effective, "
+              f"max|diff| {err:.3g})")
 
 
 if __name__ == "__main__":

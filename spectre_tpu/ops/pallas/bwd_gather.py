@@ -1,0 +1,160 @@
+"""Scalar-prefetch inverse-permutation row gather (the mix-backward hot op).
+
+The folded mix's backward is ``dxt[j] = sum_h g[h*d + inv[h, j]]`` over the
+[H*d, B] cotangent stream — the single largest remaining cost in the flagship
+train step (~11 ms/layer x 4 at B=1024; BASELINE.md). XLA lowers it as H
+per-head gathers (ops/fused_mix.py::_bwd_rows). SURVEY.md §7 named a
+scalar-prefetch Pallas gather "the right answer"; VERDICT r2 #4 demanded the
+question be settled with a kernel and a measurement rather than the
+"near the hardware floor" prediction. This is that kernel — and building it
+surfaced the ARCHITECTURAL reason the XLA gather sits at ~105 GB/s:
+
+**TPU HBM arrays are (8, 128)-tiled.** A logical [1, B] bf16 row of a
+[H*d, B] array is NOT 2 KB contiguous in HBM — it is 8 (B/128) scattered
+256-byte tile-row segments. Mosaic rejects a single-row DMA at a dynamic
+offset outright ("cannot statically prove that index in dimension 0 is a
+multiple of 8" / tpu.memref_slice on the HBM ref), because sub-tile slices
+of a tiled memref do not exist as memrefs. The only expressible random-row
+DMA fetches the ALIGNED 8-ROW TILE BLOCK containing the target row — an 8x
+read amplification (1.09 GB logical -> 8.7 GB physical), which is also
+exactly what the memory system does for ANY engine reading one logical row.
+"Random 2 KB rows at ~100 GB/s" (BASELINE.md r2) is therefore not an XLA
+artifact but the tiled-layout floor: ~8x under streaming bandwidth.
+
+The kernel below implements that aligned-block variant: per output row and
+head, DMA the 8-row aligned block (double-buffered in groups of 8 output
+rows), select the target row on the VPU via a one-hot mask built from the
+prefetched remainders, and head-sum. Its measured number
+(benchmarks/bwd_gather_variants.py --pallas) is recorded in BASELINE.md
+next to the XLA per-head chain it tried to beat.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectre_tpu.ops.pallas.common import use_interpret
+
+_GROUP = 8  # output rows per inner step (Mosaic stores need 8-aligned dim 0)
+_TILE = 8   # HBM sublane tile: the DMA-addressable row granularity
+
+
+def _kernel(al_ref, g_hbm, mask_ref, o_ref, stage, sems, *,
+            rows: int, heads: int):
+    """``rows`` output rows in groups of 8. Per group: 8*heads aligned
+    8-row-block DMAs into staging (double-buffered), then row selection +
+    head-sum as ONE batched matvec against the host-built one-hot mask
+    (a [G, K] x [G, K, B] dot_general — Mosaic has no 3D boolean reshape
+    or dynamic sublane select, but batched MXU contractions are native),
+    one aligned [8, B] store."""
+    n_groups = rows // _GROUP
+
+    def fetch(slot, grp):
+        base = grp * _GROUP
+        for j in range(_GROUP):
+            for h2 in range(heads):
+                al = pl.multiple_of(al_ref[base + j, h2], _TILE)
+                pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(al, _TILE), :],
+                    stage.at[slot, pl.ds((j * heads + h2) * _TILE, _TILE), :],
+                    sems.at[slot, j * heads + h2],
+                ).start()
+
+    def wait(slot):
+        for i in range(_GROUP * heads):
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(0, _TILE), :],
+                stage.at[slot, pl.ds(i * _TILE, _TILE), :],
+                sems.at[slot, i],
+            ).wait()
+
+    fetch(0, 0)
+    k = heads * _TILE
+
+    def body(grp, _):
+        slot = jax.lax.rem(grp, 2)
+
+        @pl.when(grp + 1 < n_groups)
+        def _():
+            fetch(1 - slot, grp + 1)
+
+        wait(slot)
+        blk = stage[slot].reshape(_GROUP, k, -1).astype(jnp.float32)
+        off = pl.multiple_of(grp * _GROUP, _GROUP)
+        mask = mask_ref[pl.ds(off, _GROUP), :]  # [G, K] one-hot-per-head
+        acc = jax.lax.dot_general(  # batched over G: [K] . [K, B] -> [B]
+            mask, blk, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[pl.ds(off, _GROUP), :] = acc.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0, unroll=False)
+
+
+def inverse_gather_sum_pallas(
+    g: jnp.ndarray,
+    inv: jnp.ndarray,
+    rows_per_program: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """dxt[j, :] = sum_h g[h*d + inv[h, j], :] for g [H*d, B], inv [H, d].
+
+    Matches ops/fused_mix.py::_bwd_rows' math (the backward of the
+    token-major multi-head row gather). Not differentiated through — it IS
+    a backward. See the module docstring for why the fetch is 8x amplified.
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    h, d = inv.shape
+    b = g.shape[-1]
+    if d % _GROUP or g.shape[0] % _TILE:
+        # aligned-store/fetch requirement; sub-8 shapes are toy sizes
+        return inverse_gather_sum_reference(g, inv)
+    r = min(rows_per_program, d)
+    while d % r or r % _GROUP:
+        r //= 2
+    # per-output-row source rows, head-minor: row j, head h2 -> h2*d+inv
+    idx = (inv + (jnp.arange(h, dtype=inv.dtype) * d)[:, None]).T  # [d, H]
+    al = (idx // _TILE) * _TILE   # aligned DMA starts
+    rem = idx - al                # row-in-block remainders
+    # host-built selection mask: mask[j, h2*T + t] = (t == rem[j, h2]);
+    # the kernel contracts it against the staged blocks on the MXU
+    mask = (rem[:, :, None]
+            == jnp.arange(_TILE, dtype=rem.dtype)).reshape(d, h * _TILE)
+    mask = mask.astype(jnp.float32)
+
+    grid = (d // r,)
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=r, heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, h), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # g stays in HBM
+            pl.BlockSpec((r, h * _TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, b), g.dtype),
+        scratch_shapes=[
+            # double-buffered staging: 8-row block per (row-in-group, head)
+            pltpu.VMEM((2, _GROUP * h * _TILE, b), g.dtype),
+            pltpu.SemaphoreType.DMA((2, _GROUP * h)),
+        ],
+        interpret=interpret,
+    )(al, g, mask)
+
+
+def inverse_gather_sum_reference(g: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """jnp oracle: the per-head chain production ships (fused_mix._bwd_rows)."""
+    h, d = inv.shape
+    gh = g.reshape(h, d, -1)
+    acc = jnp.take(gh[0], inv[0], axis=0, mode="clip")
+    for i in range(1, h):
+        acc = acc + jnp.take(gh[i], inv[i], axis=0, mode="clip")
+    return acc

@@ -215,3 +215,30 @@ def test_flash_attention_lse_residuals(rng):
                                np.ones((b, h, n)), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, v)),
                                np.asarray(out), rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_gather_kernel_matches_reference(rng):
+    """Scalar-prefetch inverse-permutation gather kernel (the mix-backward
+    experiment, ops/pallas/bwd_gather.py) vs the per-head jnp chain that
+    production ships (fused_mix._bwd_rows math)."""
+    from spectre_tpu.ops.pallas.bwd_gather import (
+        inverse_gather_sum_pallas, inverse_gather_sum_reference)
+
+    for h, d, b, r in [(4, 64, 16, 16), (3, 40, 8, 8)]:
+        perms = np.stack([rng.permutation(d) for _ in range(h)]).astype(np.int32)
+        inv = jnp.asarray(np.argsort(perms, -1).astype(np.int32))
+        g = jnp.asarray(rng.standard_normal((h * d, b)).astype(np.float32))
+        out = inverse_gather_sum_pallas(g, inv, rows_per_program=r,
+                                        interpret=True)
+        ref = inverse_gather_sum_reference(g, inv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    # d not divisible by 8 falls back to the reference path (documented)
+    perms = np.stack([rng.permutation(12) for _ in range(2)]).astype(np.int32)
+    inv = jnp.asarray(np.argsort(perms, -1).astype(np.int32))
+    g = jnp.asarray(rng.standard_normal((24, 8)).astype(np.float32))
+    out = inverse_gather_sum_pallas(g, inv, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(inverse_gather_sum_reference(g, inv)),
+        rtol=1e-6)
