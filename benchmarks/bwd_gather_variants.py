@@ -137,6 +137,25 @@ def main(argv=None):
         print(f"  routed takes (3 gathers)     : {t * 1e3:7.3f} ms  "
               f"({bytes_min / t / 2**30:7.1f} GiB/s effective, "
               f"max|diff| {err:.3g})")
+        from spectre_tpu.ops.pallas.routed_gather import (
+            routed_gather_sum_pallas)
+
+        for bb in (128, 256):
+            for tc in (32, 64):
+                label = f"routed pallas bb={bb} tc={tc:<3d}"
+                try:
+                    f3 = jax.jit(functools.partial(
+                        routed_gather_sum_pallas, rt=rt, block_b=bb,
+                        t_chunk=tc))
+                    got = np.asarray(f3(g), dtype=np.float32)
+                    err = np.max(np.abs(got - ref))
+                    t = _time_fn(f3, g, iters=args.iters)
+                    print(f"  {label}: {t * 1e3:7.3f} ms  "
+                          f"({bytes_min / t / 2**30:7.1f} GiB/s effective, "
+                          f"max|diff| {err:.3g})")
+                except Exception as e:  # Mosaic lowering gaps: report, go on
+                    print(f"  {label}: FAILED "
+                          f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
 
 
 if __name__ == "__main__":

@@ -246,6 +246,14 @@ def distill_from_config(
         if is_main:
             print(f"resumed from step {int(state.step)}")
 
+    if getattr(config, "mix_routed", False):
+        # Clos-routed mix backward for the student (mirrors train/loop.py)
+        from spectre_tpu.ops.fused_mix import register_mix_routes
+
+        keys = register_mix_routes(state.variables())
+        if is_main and keys:
+            print(f"mix routes registered: {len(keys)}")
+
     # preemption-aware save (mirrors train/loop.py:204-213): on SIGTERM/SIGINT
     # finish the current step, checkpoint the full state, then stop
     preempted = {"flag": False}

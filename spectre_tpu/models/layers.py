@@ -153,6 +153,7 @@ class FoldedMixLinear(nn.Module):
     token_dim: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    route_key: str | None = None  # Clos-routed backward (ops/fused_mix.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, perms: jnp.ndarray,
@@ -171,7 +172,12 @@ class FoldedMixLinear(nn.Module):
                           self.param_dtype)
         dt = self.dtype
         xt = x.astype(dt).transpose(1, 2, 0).reshape(N * E, B)  # [d, B]
-        g = perm_rows_t(xt, perms)  # [H*d, B] == [N*in_features, B] stream
+        from spectre_tpu.ops.fused_mix import perm_rows_t_keyed
+
+        # [H*d, B] == [N*in_features, B] stream; the backward resolves the
+        # registered Clos route for this module (bitwise-equal fallback to
+        # the per-head gather chain when none is registered)
+        g = perm_rows_t_keyed(xt, perms, self.route_key)
         g4 = g.reshape(N, in_features, B)
         s4 = signs2.astype(dt).reshape(N, in_features)  # same stream order
         # folded-weight batched GEMM through the custom-VJP op: autodiff of
@@ -266,9 +272,14 @@ class MHPermutMix(nn.Module):
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value
             signs2 = signs[0] if signs.ndim == 3 else signs
+            try:  # static identity for the Clos-route registry: the scope
+                route_key = "/".join(self.scope.path)  # path OWNING mix_tables
+            except Exception:
+                route_key = None
             return FoldedMixLinear(self.out_channels, self.token_dim,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
+                                   route_key=route_key,
                                    name="linear")(
                 x.reshape(x.shape[0], self.token_dim, self.embed_dim),
                 perms, signs2)

@@ -26,6 +26,8 @@ fusion heuristics already handle them.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -198,3 +200,104 @@ def _bwd_rows(perms, g):
 
 
 perm_rows_t.defvjp(_fwd_rows, _bwd_rows)
+
+
+# ---------------------------------------------------------------------------
+# Clos-routed backward (ops/routing.py): the inverse permutation applied as
+# 3 stages of one-hot MXU contractions instead of a random row gather —
+# sidesteps the (8,128) HBM tile amplification entirely. The route tables
+# are host-side data derived from the CONCRETE permutation buffers, so they
+# cannot be computed inside the traced backward; callers register them once
+# (register_mix_routes, after init/restore, BEFORE the first jitted step)
+# under the mix module's static scope path, and the keyed op looks them up
+# at trace time. Unregistered keys fall back to the per-head chain above.
+
+_MIX_ROUTES: dict[str, tuple] = {}
+
+
+def register_mix_routes(variables, impl: str = "pallas") -> list[str]:
+    """Walk ``variables['buffers']`` for mix permutation tables, factor each
+    into its 3-stage route (disk-cached), and register under the owning
+    module's scope path. Returns the registered keys.
+
+    MUST be re-run after loading different weights (checkpoint restore or
+    torch import) — the routes must describe the live buffer contents; the
+    train/distill loops do this right after state creation.
+
+    ``impl``: "pallas" (fused kernel, ops/pallas/routed_gather.py),
+    "mxu" (XLA einsums over resident one-hot masks), or "takes".
+    """
+    from spectre_tpu.ops.routing import build_route_tables_cached, pick_factor
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            if k == "mix_tables" and isinstance(v, (tuple, list)):
+                yield path, v[0]
+            else:
+                yield from walk(v, path + (k,))
+
+    keys = []
+    buffers = variables.get("buffers", variables)
+    for path, perms in walk(dict(buffers), ()):
+        perms = np.asarray(perms)
+        if perms.ndim != 2 or not pick_factor(perms.shape[1]):
+            continue
+        d = perms.shape[1]
+        if not (perms.min() == 0 and perms.max() == d - 1
+                and all(np.bincount(row, minlength=d).max() == 1
+                        for row in perms)):
+            continue  # not full permutations (e.g. structured tile tables)
+        inv = np.argsort(perms, axis=-1).astype(np.int32)
+        key = "/".join(path)
+        _MIX_ROUTES[key] = (build_route_tables_cached(inv), impl)
+        keys.append(key)
+    return keys
+
+
+def clear_mix_routes() -> None:
+    _MIX_ROUTES.clear()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def perm_rows_t_keyed(xt: jnp.ndarray, perms: jnp.ndarray,
+                      route_key: str | None) -> jnp.ndarray:
+    """``perm_rows_t`` with a static identity for route lookup.
+
+    Forward is identical; the backward uses the registered Clos route for
+    ``route_key`` when present (bitwise-identical result to the per-head
+    chain: per-head pass-through is exact and the head accumulation runs in
+    the same order and dtype), else the per-head gather chain.
+    """
+    return jnp.take(xt, perms.reshape(-1), axis=0, mode="clip")
+
+
+def _fwd_rows_keyed(xt, perms, route_key):
+    return perm_rows_t_keyed(xt, perms, route_key), perms
+
+
+def _bwd_rows_keyed(route_key, perms, g):
+    ent = _MIX_ROUTES.get(route_key) if route_key else None
+    if ent is not None:
+        rt, impl = ent
+        if rt.a_idx.shape[:1] + (rt.r * rt.c,) == perms.shape:
+            if impl == "pallas":
+                from spectre_tpu.ops.pallas.routed_gather import (
+                    routed_gather_sum_pallas)
+
+                dxt = routed_gather_sum_pallas(g, rt)
+            elif impl == "mxu":
+                from spectre_tpu.ops.routing import (route_gather_sum_mxu,
+                                                     route_onehots)
+
+                dxt = route_gather_sum_mxu(g, *route_onehots(rt, g.dtype))
+            else:
+                from spectre_tpu.ops.routing import route_gather_sum
+
+                dxt = route_gather_sum(g, rt)
+            return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
+    return _bwd_rows(perms, g)
+
+
+perm_rows_t_keyed.defvjp(_fwd_rows_keyed, _bwd_rows_keyed)

@@ -88,10 +88,12 @@ def _kernel(al_ref, g_hbm, mask_ref, o_ref, stage, sems, *,
         blk = stage[slot].reshape(_GROUP, k, -1).astype(jnp.float32)
         off = pl.multiple_of(grp * _GROUP, _GROUP)
         mask = mask_ref[pl.ds(off, _GROUP), :]  # [G, K] one-hot-per-head
-        acc = jax.lax.dot_general(  # batched over G: [K] . [K, B] -> [B]
-            mask, blk, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[pl.ds(off, _GROUP), :] = acc.astype(o_ref.dtype)
+        acc = jax.lax.dot_general(  # batched over G: [1, K] . [K, B] -> [1, B]
+            mask[:, None, :], blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # Mosaic needs a (here
+        # size-1) lhs non-contracting dim — a pure matvec fails to lower
+        o_ref[pl.ds(off, _GROUP), :] = acc.reshape(mask.shape[0],
+                                                   -1).astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0, unroll=False)

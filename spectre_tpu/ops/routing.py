@@ -156,6 +156,33 @@ def build_route_tables(inv: np.ndarray, c: int | None = None) -> RouteTables:
     return RouteTables(r=r, c=c, a_idx=a_idx, b_idx=b_idx, c_idx=c_idx)
 
 
+def build_route_tables_cached(inv: np.ndarray,
+                              c: int | None = None) -> RouteTables:
+    """Disk-cached ``build_route_tables`` (the Euler colouring costs ~7 s
+    per flagship layer; the tables are pure functions of the permutations).
+    Cache: ~/.cache/spectre_tpu_routes/<sha1 of inv bytes>.npz."""
+    import hashlib
+    import os
+
+    inv = np.ascontiguousarray(np.asarray(inv, dtype=np.int32))
+    tag = hashlib.sha1(inv.tobytes()
+                       + str(c).encode()).hexdigest()  # noqa: S324 (cache key)
+    cdir = os.path.join(os.path.expanduser("~"), ".cache",
+                        "spectre_tpu_routes")
+    path = os.path.join(cdir, f"{tag}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return RouteTables(r=int(z["r"]), c=int(z["c"]), a_idx=z["a"],
+                           b_idx=z["b"], c_idx=z["cc"])
+    rt = build_route_tables(inv, c)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:  # np.savez would append .npz to a bare path
+        np.savez(f, r=rt.r, c=rt.c, a=rt.a_idx, b=rt.b_idx, cc=rt.c_idx)
+    os.replace(tmp, path)
+    return rt
+
+
 def route_gather_sum(g: jnp.ndarray, rt: RouteTables) -> jnp.ndarray:
     """Reference/jnp application of the 3-stage route (take_along_axis form).
 

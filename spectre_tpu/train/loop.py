@@ -194,6 +194,16 @@ def train_from_config(
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
 
+    if getattr(config, "mix_routed", False):
+        # Clos-routed mix backward (ops/routing.py): factor the LIVE
+        # permutation buffers (post-restore) into route tables so the jitted
+        # step's backward uses MXU routing instead of the row gather
+        from spectre_tpu.ops.fused_mix import register_mix_routes
+
+        keys = register_mix_routes(state.variables())
+        if is_main and keys:
+            print(f"mix routes registered: {len(keys)}")
+
     if is_main:
         print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
               f"chips={n_chips} procs={pcount} batch={batch_size} "

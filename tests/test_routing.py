@@ -80,6 +80,76 @@ def test_route_bf16_passthrough(rng):
         np.asarray(route_gather_sum(g, rt), np.float32), ref)
 
 
+@pytest.mark.parametrize("t_chunk", [8, 128])
+def test_routed_pallas_kernel(rng, t_chunk):
+    """Fused 3-stage kernel (ops/pallas/routed_gather.py, interpret mode)
+    is bit-exact against the gather-sum, including the bf16 path."""
+    from spectre_tpu.ops.pallas.routed_gather import routed_gather_sum_pallas
+
+    h, d, b = 4, 256, 16
+    perms = np.stack([rng.permutation(d) for _ in range(h)]).astype(np.int32)
+    inv = np.argsort(perms, -1).astype(np.int32)
+    rt = build_route_tables(inv)
+    g = rng.standard_normal((h * d, b)).astype(np.float32)
+    got = routed_gather_sum_pallas(jnp.asarray(g), rt, block_b=8,
+                                   t_chunk=t_chunk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), _reference(g, inv))
+
+    gb = jnp.asarray(g, jnp.bfloat16)
+    got = routed_gather_sum_pallas(gb, rt, block_b=8, t_chunk=t_chunk,
+                                   interpret=True)
+    gbh = np.asarray(gb).reshape(h, d, -1)
+    ref = gbh[0][inv[0]]
+    for i in range(1, h):  # bf16 add chain, matching the kernel's head accum
+        ref = (ref + gbh[i][inv[i]]).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_registered_routes_give_bitwise_equal_grads(rng):
+    """End-to-end: register_mix_routes from a folded-mix model's buffers,
+    and the routed backward (take-form route) must match the per-head
+    gather chain BITWISE — per-head pass-through is exact and the head
+    accumulation runs in the same order and dtype."""
+    import jax
+    from spectre_tpu.models.layers import MHPermutMix
+    from spectre_tpu.ops.fused_mix import (clear_mix_routes,
+                                           register_mix_routes)
+
+    e, n, h, b = 32, 17, 3, 8  # d = 544 = 17 x 32 (pick_factor -> 32)
+    model = MHPermutMix(embed_dim=e, token_dim=n, num_heads=h,
+                        out_channels=e, impl="folded")
+    x = jnp.asarray(rng.standard_normal((b, n, e)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+
+    params = variables["params"]
+    buffers = variables["buffers"]
+
+    def loss(p, x):
+        return (model.apply({"params": p, "buffers": buffers}, x) ** 2).sum()
+
+    clear_mix_routes()
+    g_plain = jax.grad(loss, argnums=(0, 1))(params, x)
+    keys = register_mix_routes(variables, impl="takes")
+    assert keys, "walker found no mix tables"
+    try:
+        g_routed = jax.grad(loss, argnums=(0, 1))(params, x)
+    finally:
+        clear_mix_routes()
+    flat_p, _ = jax.tree.flatten(g_plain)
+    flat_r, _ = jax.tree.flatten(g_routed)
+    for a, c in zip(flat_p, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # pallas impl (interpret on CPU) matches too
+    keys = register_mix_routes(variables, impl="pallas")
+    try:
+        g_pl = jax.grad(loss, argnums=(0, 1))(params, x)
+    finally:
+        clear_mix_routes()
+    for a, c in zip(flat_p, jax.tree.flatten(g_pl)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_route_rejects_unfactorable():
     inv = np.argsort(np.stack([np.random.default_rng(0).permutation(33)]), -1)
     with pytest.raises(ValueError):
