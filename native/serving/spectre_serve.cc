@@ -13,10 +13,22 @@
 //             framed by the server's meta — SPQ2's explicit dims let the
 //             server REJECT a shape-mismatched client instead of silently
 //             computing logits on misaligned pixels)
+//   auth    : "SPA1" | u32 len | len bytes token  (must be the FIRST frame
+//             on a connection when the server has a token; server replies
+//             "SPOK" on success, "SPER"+close otherwise. Accepted as a
+//             no-op handshake when no token is configured, so clients can
+//             authenticate unconditionally.)
 //   response: "SPR1" | u32 batch | u32 num_classes | batch*classes float32
 //   error   : "SPER" | u32 len | len bytes of message
 // Connections are persistent: a client may send any number of requests; the
 // server replies in order and closes on EOF/protocol error.
+//
+// Remote transport: --host binds a specific interface (default loopback).
+// Binding a non-loopback address REQUIRES a shared-secret token (--token-file
+// or $SPECTRE_SERVE_TOKEN — never argv, which leaks via ps) so an exposed
+// port is not an open inference endpoint. The token gates access only; the
+// stream itself is plaintext — for confidentiality/integrity across
+// untrusted networks front it with TLS (stunnel/nginx/ssh -L or a VPC).
 //
 // Concurrency: one detached thread per connection reads requests and
 // enqueues them on a shared DYNAMIC BATCHER — samples from concurrent
@@ -30,6 +42,7 @@
 //
 // Usage:
 //   spectre_serve --weights w.stw --meta meta.txt [--port 0 | --uds PATH]
+//                 [--host 127.0.0.1] [--token-file PATH]
 //                 [--max-batch 256] [--batch-timeout-us 2000]
 // Prints "LISTENING <port>" (TCP, port 0 = ephemeral) or
 // "LISTENING_UDS <path>" (unix-domain socket — skips the loopback TCP stack
@@ -49,8 +62,10 @@
 #include <chrono>
 #include <condition_variable>
 #include <csignal>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <fstream>
 #include <future>
 #include <iostream>
 #include <map>
@@ -101,11 +116,23 @@ struct Job {
   std::promise<std::vector<std::vector<float>>> done;
 };
 
+// Length-independent-per-byte comparison: a byte-wise early exit would let
+// a remote caller binary-search the token one byte at a time off the RTT.
+bool token_equal(const std::string& a, const std::string& b) {
+  unsigned char acc = (unsigned char)(a.size() ^ b.size());
+  const char* bp = b.empty() ? "" : b.data();  // "" has a valid '\0' at [0]
+  const size_t bn = b.empty() ? 1 : b.size();
+  for (size_t i = 0; i < a.size(); ++i)
+    acc |= (unsigned char)(a[i] ^ bp[i % bn]);
+  return acc == 0;
+}
+
 struct Server {
   spectre::Weights weights;
   spectre::Config cfg;
   uint32_t max_batch = 256;
   int batch_timeout_us = 0;
+  std::string token;  // empty = no auth required
 
   // dynamic batcher state
   mutable std::mutex mu;
@@ -168,7 +195,30 @@ struct Server {
     const size_t img_elems =
         (size_t)cfg.in_channels * cfg.img_size * cfg.img_size;
     char magic[4];
+    bool first = true;
     while (read_full(fd, magic, 4)) {
+      if (first) {
+        first = false;
+        const bool is_auth = std::strncmp(magic, "SPA1", 4) == 0;
+        if (is_auth) {
+          uint32_t len = 0;
+          if (!read_full(fd, &len, 4) || len > 4096) break;
+          std::string got(len, '\0');
+          if (len && !read_full(fd, got.data(), len)) break;
+          if (!token.empty() && !token_equal(got, token)) {
+            send_error(fd, "auth failed");
+            break;
+          }
+          if (!write_full(fd, "SPOK", 4)) break;
+          continue;
+        }
+        if (!token.empty()) {
+          // token configured but the first frame is not an auth frame:
+          // refuse before touching the request machinery
+          send_error(fd, "auth required");
+          break;
+        }
+      }
       const bool v2 = std::strncmp(magic, "SPQ2", 4) == 0;
       if (!v2 && std::strncmp(magic, "SPQ1", 4) != 0) {
         send_error(fd, "bad magic");
@@ -286,6 +336,23 @@ int main(int argc, char** argv) {
   if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
   if (args.count("--batch-timeout-us"))
     srv.batch_timeout_us = std::stoi(args["--batch-timeout-us"]);
+
+  // shared-secret token: --token-file wins over $SPECTRE_SERVE_TOKEN.
+  // Never accepted via argv (leaks through ps/procfs).
+  if (args.count("--token-file")) {
+    std::ifstream tf(args["--token-file"]);
+    if (!tf) {
+      std::cerr << "--token-file unreadable: " << args["--token-file"] << "\n";
+      return 2;
+    }
+    std::getline(tf, srv.token);
+  } else if (const char* t = std::getenv("SPECTRE_SERVE_TOKEN")) {
+    srv.token = t;
+  }
+  // strip a trailing CR so a CRLF token file matches a sane client
+  while (!srv.token.empty() &&
+         (srv.token.back() == '\r' || srv.token.back() == '\n'))
+    srv.token.pop_back();
   // NOTE: the batcher thread starts only after the listener is up — an
   // early `return` from the transport guards below must not leave a
   // detached thread waiting on srv's condition variable while main's
@@ -346,11 +413,23 @@ int main(int argc, char** argv) {
     std::cout << "LISTENING_UDS " << path << std::endl;
   } else {
     int port = args.count("--port") ? std::stoi(args["--port"]) : 0;
-    sock = ::socket(AF_INET, SOCK_STREAM, 0);
-    ::setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    const std::string host =
+        args.count("--host") ? args["--host"] : "127.0.0.1";
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
-    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    if (::inet_pton(AF_INET, host.c_str(), &addr.sin_addr) != 1) {
+      std::cerr << "--host is not a valid IPv4 address: " << host << "\n";
+      return 2;
+    }
+    if (addr.sin_addr.s_addr != htonl(INADDR_LOOPBACK) && srv.token.empty()) {
+      std::cerr << "--host " << host << " is not loopback: a remote-reachable "
+                   "endpoint requires a token (--token-file or "
+                   "$SPECTRE_SERVE_TOKEN); see the transport notes in this "
+                   "file's header for the TLS stance\n";
+      return 2;
+    }
+    sock = ::socket(AF_INET, SOCK_STREAM, 0);
+    ::setsockopt(sock, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
     addr.sin_port = htons((uint16_t)port);
     if (::bind(sock, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
         ::listen(sock, 64) != 0) {

@@ -38,6 +38,7 @@ write on process 0 only.
 
 from __future__ import annotations
 
+import itertools
 import signal
 import time
 from types import SimpleNamespace
@@ -71,14 +72,23 @@ _TEACHER_STD = (0.229, 0.224, 0.225)
 
 
 def precompute_teacher_logits(teacher_logits_fn, images: np.ndarray,
-                              batch_size: int, num_classes: int) -> np.ndarray:
+                              batch_size: int, num_classes: int,
+                              place=None) -> np.ndarray:
     """One jitted teacher pass over ``images`` -> [N, num_classes] float32.
 
     Chunks at ``batch_size`` (the same compiled program the recompute path
     would use — no extra compilation, and per-sample results are identical
     because every op in the teacher view/forward is independent across the
     batch row axis). The last partial chunk is padded to keep shapes static.
+
+    ``place`` stages each chunk exactly like the hot loop stages its batches
+    (mesh-sharded ``device_put``). This is NOT an optimization: an unsharded
+    chunk makes XLA compile a different (single-device) teacher executable
+    whose reductions can round differently at the last ulp, breaking the
+    cached == recomputed bitwise guarantee the parity tests pin.
     """
+    if place is None:
+        place = jnp.asarray
     n = len(images)
     out = np.empty((n, num_classes), np.float32)
     for start in range(0, n, batch_size):
@@ -87,7 +97,7 @@ def precompute_teacher_logits(teacher_logits_fn, images: np.ndarray,
         if valid < batch_size:
             pad = np.repeat(chunk[-1:], batch_size - valid, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        logits = teacher_logits_fn(jnp.asarray(chunk))
+        logits = teacher_logits_fn(place(np.ascontiguousarray(chunk)))
         out[start:start + valid] = np.asarray(
             logits[:valid], dtype=np.float32)
     return out
@@ -219,8 +229,16 @@ def distill_from_config(
     logit_cache = None
     if cache_teacher:
         t_cache0 = time.time()
+        from spectre_tpu.parallel import batch_sharding
+
         logit_cache = precompute_teacher_logits(
-            teacher_logits_fn, train_x, local_batch, int(config.num_classes))
+            teacher_logits_fn, train_x, local_batch, int(config.num_classes),
+            # stage chunks mesh-sharded exactly like prefetch_to_mesh stages
+            # the hot loop's batches — same teacher executable, bitwise-equal
+            # logits (single-process; multi-host caches are per-process and
+            # the recompute path there also sees process-local staging)
+            place=(None if pcount > 1
+                   else (lambda c: jax.device_put(c, batch_sharding(mesh)))))
         if is_main:
             print(f"teacher-logit cache: {logit_cache.shape[0]} x "
                   f"{logit_cache.shape[1]} f32 "
@@ -253,6 +271,12 @@ def distill_from_config(
         keys = register_mix_routes(state.variables())
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
+    else:
+        # mirror train/loop.py: drop any routes a previous model registered
+        # under the same scope paths in this process
+        from spectre_tpu.ops.fused_mix import clear_mix_routes
+
+        clear_mix_routes()
 
     # preemption-aware save (mirrors train/loop.py:204-213): on SIGTERM/SIGINT
     # finish the current step, checkpoint the full state, then stop
@@ -268,10 +292,17 @@ def distill_from_config(
         except ValueError:  # not the main thread (tests)
             pass
 
-    aug_key = jax.random.key(getattr(config, "random_seed", 42) + 2)
+    # per-step aug keys are fold_in(base, step) — the train/step.py pattern:
+    # O(1) to derive at any step, so resume needs no key fast-forward chain
+    aug_base_key = jax.random.key(getattr(config, "random_seed", 42) + 2)
     # resume continues the epoch count from the restored step (running the
-    # full config.epochs AGAIN would overtrain past the cosine schedule)
+    # full config.epochs AGAIN would overtrain past the cosine schedule);
+    # a MID-epoch restore (the preemption case) also skips the
+    # already-trained prefix of the interrupted epoch below, so the run
+    # still ends at exactly epochs*steps_per_epoch and never outruns the
+    # cosine schedule
     start_epoch = int(state.step) // steps_per_epoch
+    skip_batches = int(state.step) % steps_per_epoch
     total_steps = int(state.step)
     t0 = time.time()
     done = False
@@ -280,23 +311,28 @@ def distill_from_config(
     log_every = int(getattr(config, "log_every", 50))
     val_local_batch = max(1, int(getattr(config, "val_batch_size",
                                          batch_size)) // pcount)
-    # resume determinism: fast-forward the epoch shuffles AND the aug key
-    # stream past the completed epochs so the data order continues exactly
+    # resume determinism: fast-forward the epoch shuffles past the completed
+    # epochs so the data order continues exactly (aug keys need no chain —
+    # they are a pure function of the step number)
     for _ in range(start_epoch):
         train_iter.skip_epoch()
-        for _ in range(steps_per_epoch):
-            aug_key, _k = jax.random.split(aug_key)
 
     for epoch in range(start_epoch, int(config.epochs)):
         if done:
             break
         pending = []  # device metrics, fetched in one batched D2H per window
-        it = prefetch_to_mesh(
-            batches_with_teacher(train_iter) if cache_teacher else train_iter,
-            mesh)
+        src = iter(batches_with_teacher(train_iter) if cache_teacher
+                   else train_iter)
+        if skip_batches:
+            # replay-skip the interrupted epoch's trained prefix (same
+            # shuffle stream, no training) so mid-epoch resume neither
+            # retrains those batches nor overruns the schedule
+            src = itertools.islice(src, skip_batches, None)
+            skip_batches = 0
+        it = prefetch_to_mesh(src, mesh)
         for batch in it:
             raw = batch["image"]
-            aug_key, k = jax.random.split(aug_key)
+            k = jax.random.fold_in(aug_base_key, total_steps)
             img_student = augment(k, resize(raw))
             if cache_teacher:
                 teacher_logits = batch["teacher_logits"]

@@ -13,6 +13,14 @@ not baked into this image — tensorflow is, tf2onnx/onnx are not), and
 replays the artifact through onnxruntime against the live model when that
 is importable too. Raising a clear RuntimeError with the stance otherwise
 is deliberate: a silently skipped export is how stale artifacts ship.
+
+Known toolchain limit (verified on this image's JAX): ``jax2tf.convert``
+now always emits a single ``XlaCallModule`` op wrapping StableHLO — the
+old plain-TF graph serialization is gone even with
+``native_serialization=False`` — so the bridge only succeeds once tf2onnx
+grows an XlaCallModule/StableHLO handler. The conversion is still
+attempted (a capable tf2onnx makes it work unchanged) and any failure
+raises the documented stance instead of shipping nothing silently.
 """
 
 from __future__ import annotations
@@ -47,8 +55,18 @@ def export_onnx(model, variables, x, path: str, atol: float = 1e-4) -> float | N
     tf_fn = tf.function(
         jax2tf.convert(fn, with_gradient=False), autograph=False,
         input_signature=spec)
-    tf2onnx.convert.from_function(tf_fn, input_signature=spec, opset=17,
-                                  output_path=path)
+    try:
+        tf2onnx.convert.from_function(tf_fn, input_signature=spec, opset=17,
+                                      output_path=path)
+    except Exception as e:
+        raise RuntimeError(
+            "jax2tf -> tf2onnx conversion failed — modern jax2tf emits an "
+            "XlaCallModule-wrapped StableHLO graph (the plain-TF graph "
+            "serialization was removed from JAX), which this tf2onnx cannot "
+            "convert. The committed artifact surface is StableHLO "
+            "(model.stablehlo, numerically replay-verified) + .stw weights "
+            "for the native C++ runtime — see PARITY.md."
+        ) from e
 
     try:
         import onnxruntime as ort

@@ -222,12 +222,19 @@ def register_mix_routes(variables, impl: str = "pallas") -> list[str]:
 
     MUST be re-run after loading different weights (checkpoint restore or
     torch import) — the routes must describe the live buffer contents; the
-    train/distill loops do this right after state creation.
+    train/distill loops do this right after state creation. Registration
+    CLEARS all previously registered routes first (the registry is keyed
+    by module scope path, which two different models in one process can
+    share — stale entries would silently route with the wrong permutation);
+    loops whose config leaves ``mix_routed`` off call ``clear_mix_routes()``
+    instead, so a prior model's routes never leak into the next.
 
     ``impl``: "pallas" (fused kernel, ops/pallas/routed_gather.py),
     "mxu" (XLA einsums over resident one-hot masks), or "takes".
     """
     from spectre_tpu.ops.routing import build_route_tables_cached, pick_factor
+
+    clear_mix_routes()
 
     def walk(tree, path):
         if not isinstance(tree, dict):
@@ -278,7 +285,9 @@ def _fwd_rows_keyed(xt, perms, route_key):
 
 
 def _bwd_rows_keyed(route_key, perms, g):
-    ent = _MIX_ROUTES.get(route_key) if route_key else None
+    # NOTE: ``is not None`` — a TOP-LEVEL mix module has scope path () and
+    # therefore route_key "" (falsy), which must still hit the registry
+    ent = _MIX_ROUTES.get(route_key) if route_key is not None else None
     if ent is not None:
         rt, impl = ent
         if rt.a_idx.shape[:1] + (rt.r * rt.c,) == perms.shape:

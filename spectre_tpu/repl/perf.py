@@ -58,7 +58,8 @@ def _time_fn(fn, *args, warmup=5, iters=50):
         float(np.asarray(red(out)))
         return time.perf_counter() - t0
 
-    n1 = max(2, iters // 5)
+    iters = max(iters, 2)  # slope needs two distinct window sizes
+    n1 = min(max(2, iters // 5), iters - 1)
     t1, t2 = run(n1), run(iters)
     return max((t2 - t1) / (iters - n1), 1e-9)
 
@@ -247,7 +248,10 @@ def cmd_train(args):
         for _ in range(args.warmup):
             state, m = step(state, images, labels)
         np.asarray(m["loss"])
-        n1 = max(2, args.iters // 5)
+        # slope needs two distinct window sizes: clamp so --iters <= 2
+        # still measures (an n1=0 window is a pure fetch, which the slope
+        # cancels) instead of dividing by zero
+        n1 = min(max(2, args.iters // 5), max(0, args.iters - 1))
         times = []
         for n in (n1, args.iters):
             t0 = time.perf_counter()

@@ -90,9 +90,10 @@ def _torch_augment_factory(dataset: str, mean, std, report: dict):
     def _rotate(x, gen):
         # bilinear rotation via affine_grid (RandomAffine/RandomRotation core)
         b = x.shape[0]
-        ang = (torch.rand(b, generator=gen) * 2 - 1) * np.deg2rad(degrees)
+        ang = ((torch.rand(b, generator=gen, device=x.device) * 2 - 1)
+               * np.deg2rad(degrees))
         cos, sin = torch.cos(ang), torch.sin(ang)
-        theta = torch.zeros(b, 2, 3)
+        theta = torch.zeros(b, 2, 3, device=x.device)
         theta[:, 0, 0], theta[:, 0, 1] = cos, -sin
         theta[:, 1, 0], theta[:, 1, 1] = sin, cos
         grid = torch.nn.functional.affine_grid(theta, list(x.shape),
@@ -100,12 +101,14 @@ def _torch_augment_factory(dataset: str, mean, std, report: dict):
         return torch.nn.functional.grid_sample(x, grid, align_corners=False)
 
     def augment(x):
+        # every random tensor lives on x.device — the reference recipe runs
+        # this on CUDA when available, and CPU-born masks/grids would raise
         gen = None
         if dataset != "mnist":
-            flip = torch.rand(x.shape[0]) < 0.5
+            flip = torch.rand(x.shape[0], device=x.device) < 0.5
             x = torch.where(flip.view(-1, 1, 1, 1), torch.flip(x, [-1]), x)
         x = _rotate(x, gen)
-        x = (x - mean_t) / std_t
+        x = (x - mean_t.to(x.device)) / std_t.to(x.device)
         if dataset != "mnist":
             erase = torch.rand(x.shape[0]) < 0.25
             h, w = x.shape[-2:]

@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7788)
     p.add_argument("--uds", default=None,
                    help="serve on a unix-domain socket path instead of TCP")
+    p.add_argument("--host", default=None,
+                   help="bind a specific interface (default loopback); a "
+                        "non-loopback host requires --token-file or "
+                        "$SPECTRE_SERVE_TOKEN (plaintext stream — front "
+                        "with TLS across untrusted networks)")
+    p.add_argument("--token-file", default=None,
+                   help="file holding the shared-secret auth token")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--export-dir", default=None,
                    help="reuse/keep the export dir (default: runs/serve_export)")
@@ -51,8 +58,9 @@ def main(argv=None):
     outdir = args.export_dir or os.path.join("runs", "serve_export")
     export_from_config(cfg, checkpoint=args.ckpt, outdir=outdir, batch=1)
     proc, addr = start_server(outdir, port=args.port, max_batch=args.max_batch,
-                              uds=args.uds)
-    where = addr if args.uds else f"127.0.0.1:{addr}"
+                              uds=args.uds, host=args.host,
+                              token_file=args.token_file)
+    where = addr if args.uds else f"{args.host or '127.0.0.1'}:{addr}"
     print(f"serving {getattr(cfg, 'model', 'spectre_vit')} from {outdir} "
           f"on {where} (ctrl-c to stop)")
     try:

@@ -6,6 +6,8 @@ over a length-prefixed TCP protocol:
     request : b"SPQ2" | u32 batch | u32 C | u32 H | u32 W | float32 pixels
               (the explicit dims let the server reject a shape-mismatched
               client instead of silently mis-framing the stream)
+    auth    : b"SPA1" | u32 len | token bytes (first frame; server replies
+              b"SPOK" — required when the daemon has a token configured)
     response: b"SPR1" | u32 batch | u32 classes | float32 logits
     error   : b"SPER" | u32 len | message
 
@@ -32,15 +34,26 @@ SERVER_BIN = os.path.join(_REPO, "native", "build", "spectre_serve")
 
 def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
                  binary: str | None = None, timeout: float = 30.0,
-                 uds: str | None = None):
+                 uds: str | None = None, host: str | None = None,
+                 token_file: str | None = None):
     """Launch spectre_serve on an exported model directory (weights.stw +
     meta.txt, as written by repl/export.py). Returns ``(Popen, addr)``:
     ``addr`` is the bound TCP port (int), or the unix-socket path (str) when
-    ``uds`` is given (same protocol, skips the loopback TCP stack)."""
+    ``uds`` is given (same protocol, skips the loopback TCP stack).
+
+    ``host`` binds a specific interface (daemon default: loopback). A
+    non-loopback host requires a shared-secret token — pass ``token_file``
+    or export $SPECTRE_SERVE_TOKEN (inherited by the daemon); the daemon
+    refuses to start otherwise. The stream is plaintext: front it with
+    TLS (stunnel/nginx/ssh) across untrusted networks."""
     binary = binary or SERVER_BIN
     import select
 
     transport = (["--uds", uds] if uds else ["--port", str(port)])
+    if host is not None:
+        transport += ["--host", host]
+    if token_file is not None:
+        transport += ["--token-file", token_file]
     proc = subprocess.Popen(
         [binary,
          "--weights", os.path.join(export_dir, "weights.stw"),
@@ -78,15 +91,31 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
 
 class SpectreClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 uds: str | None = None):
+                 uds: str | None = None, token: str | None = None):
         """Connect over TCP (host/port) or a unix-domain socket (``uds`` =
-        the path printed by the server / returned by ``start_server``)."""
+        the path printed by the server / returned by ``start_server``).
+
+        ``token``: shared secret for token-gated servers (required when the
+        daemon binds a non-loopback host). Sent once as the connection's
+        first frame; the server replies SPOK or refuses the connection."""
         if uds is not None:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.connect(uds)
         else:
             self._sock = socket.create_connection((host, port))
             self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if token is not None:
+            t = token.encode()
+            self._sock.sendall(b"SPA1" + struct.pack("<I", len(t)) + t)
+            head = self._recv(4)
+            if head == b"SPER":
+                (n,) = struct.unpack("<I", self._recv(4))
+                msg = self._recv(n).decode()
+                self._sock.close()
+                raise PermissionError(f"server refused auth: {msg}")
+            if head != b"SPOK":
+                self._sock.close()
+                raise RuntimeError(f"bad auth response magic {head!r}")
 
     def infer(self, images: np.ndarray) -> np.ndarray:
         """images: [B, C, H, W] float32 -> logits [B, num_classes]."""

@@ -10,6 +10,7 @@ perf metrics (steps/sec, images/sec/chip) the reference never measured.
 from __future__ import annotations
 
 import functools
+import itertools
 import signal
 import time
 from dataclasses import dataclass
@@ -203,6 +204,12 @@ def train_from_config(
         keys = register_mix_routes(state.variables())
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
+    else:
+        # a previous model in this process may have registered routes under
+        # the same scope paths; never let them leak into this run's backward
+        from spectre_tpu.ops.fused_mix import clear_mix_routes
+
+        clear_mix_routes()
 
     if is_main:
         print(f"model={getattr(config, 'model', '?')} params={n_params:,} "
@@ -227,8 +234,16 @@ def train_from_config(
     best_val = -1.0
     last_val = -1.0
     # resume continues the epoch count from the restored step (running the
-    # full config.epochs AGAIN would overtrain past the cosine schedule)
+    # full config.epochs AGAIN would overtrain past the cosine schedule);
+    # fast-forward the shuffle stream past completed epochs and skip the
+    # interrupted epoch's already-trained prefix so a MID-epoch restore
+    # (the preemption case) neither retrains those batches nor runs past
+    # the end of the cosine schedule (aug keys are fold_in(rng, step) in
+    # train/step.py — exact at any step by construction)
     start_epoch = int(state.step) // steps_per_epoch
+    skip_batches = int(state.step) % steps_per_epoch
+    for _ in range(start_epoch):
+        train_iter.skip_epoch()
     total_steps = int(state.step)
     t_train0 = time.time()
     images_seen = 0
@@ -248,7 +263,11 @@ def train_from_config(
         if done:
             break
         epoch_metrics = []
-        for batch in prefetch_to_mesh(train_iter, mesh,
+        src = iter(train_iter)
+        if skip_batches:
+            src = itertools.islice(src, skip_batches, None)
+            skip_batches = 0
+        for batch in prefetch_to_mesh(src, mesh,
                                       prefetch=int(getattr(config, "prefetch_depth", 2))):
             state, metrics = train_step(state, batch["image"], batch["label"])
             epoch_metrics.append(metrics)

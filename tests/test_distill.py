@@ -182,3 +182,22 @@ def test_distill_resume_continues(tmp_path):
         teacher_variables=tvars, write_metrics=False, resume=True)
     assert int(state2.step) == 4
     assert np.isfinite(metrics["loss"])
+
+
+def test_distill_mid_epoch_resume_skips_trained_prefix(tmp_path):
+    """Mirror of the train-loop mid-epoch resume contract: resuming a
+    preempted (mid-epoch) distillation finishes at exactly
+    epochs*steps_per_epoch instead of replaying the trained prefix."""
+    from spectre_tpu.distill.loop import distill_from_config
+
+    teacher, tvars = _tiny_clf()
+    cfg = _tiny_distill_cfg(tmp_path, batch_size=512, epochs=1)
+    # synthetic mnist train split is 4096 -> 8 steps/epoch at B=512
+    state1, _ = distill_from_config(
+        cfg, max_steps=3, synthetic=True, teacher=teacher,
+        teacher_variables=tvars, write_metrics=False)
+    assert int(state1.step) == 3
+    state2, _ = distill_from_config(
+        cfg, synthetic=True, teacher=teacher, teacher_variables=tvars,
+        write_metrics=False, resume=True)
+    assert int(state2.step) == 8

@@ -105,15 +105,31 @@ def test_routed_pallas_kernel(rng, t_chunk):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_registered_routes_give_bitwise_equal_grads(rng):
+def test_registered_routes_give_bitwise_equal_grads(rng, monkeypatch):
     """End-to-end: register_mix_routes from a folded-mix model's buffers,
     and the routed backward (take-form route) must match the per-head
     gather chain BITWISE — per-head pass-through is exact and the head
-    accumulation runs in the same order and dtype."""
+    accumulation runs in the same order and dtype.
+
+    A call counter on the route application asserts the routed path was
+    actually TAKEN (round-3 review: a falsy "" route_key for a top-level
+    mix module silently fell back to the gather chain, making this test
+    compare the fallback against itself)."""
     import jax
+    import spectre_tpu.ops.fused_mix as fm
     from spectre_tpu.models.layers import MHPermutMix
     from spectre_tpu.ops.fused_mix import (clear_mix_routes,
                                            register_mix_routes)
+    from spectre_tpu.ops import routing as routing_mod
+
+    calls = {"takes": 0}
+    real_route = routing_mod.route_gather_sum
+
+    def counting_route(g, rt):
+        calls["takes"] += 1
+        return real_route(g, rt)
+
+    monkeypatch.setattr(routing_mod, "route_gather_sum", counting_route)
 
     e, n, h, b = 32, 17, 3, 8  # d = 544 = 17 x 32 (pick_factor -> 32)
     model = MHPermutMix(embed_dim=e, token_dim=n, num_heads=h,
@@ -129,12 +145,14 @@ def test_registered_routes_give_bitwise_equal_grads(rng):
 
     clear_mix_routes()
     g_plain = jax.grad(loss, argnums=(0, 1))(params, x)
+    assert calls["takes"] == 0
     keys = register_mix_routes(variables, impl="takes")
     assert keys, "walker found no mix tables"
     try:
         g_routed = jax.grad(loss, argnums=(0, 1))(params, x)
     finally:
         clear_mix_routes()
+    assert calls["takes"] > 0, "routed backward was never taken (vacuous test)"
     flat_p, _ = jax.tree.flatten(g_plain)
     flat_r, _ = jax.tree.flatten(g_routed)
     for a, c in zip(flat_p, flat_r):

@@ -186,3 +186,65 @@ def test_serving_rejects_shape_mismatch_and_connection_survives(served):
         # same connection still serves valid requests afterwards
         got = c.infer(x_ok)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_token_auth(served, tmp_path):
+    """Token-gated serving (round 3, remote-transport hardening): a correct
+    SPA1 handshake unlocks inference, a wrong token is refused, and a
+    request without auth is refused before touching the batcher."""
+    import socket
+    import struct
+
+    from spectre_tpu.serving import SpectreClient, start_server
+
+    outdir, _ = served
+    tok = tmp_path / "token.txt"
+    tok.write_text("s3cret-tok3n\n")  # trailing newline must be stripped
+    proc, port = start_server(outdir, token_file=str(tok))
+    try:
+        want = np.fromfile(f"{outdir}/example_logits.f32",
+                           np.float32).reshape(4, 10)
+        x = np.fromfile(f"{outdir}/example_input.f32",
+                        np.float32).reshape(4, 3, 8, 8)
+        # correct token: full inference works
+        with SpectreClient(port=port, token="s3cret-tok3n") as client:
+            np.testing.assert_allclose(client.infer(x), want,
+                                       rtol=1e-4, atol=1e-4)
+        # wrong token: PermissionError at connect
+        with pytest.raises(PermissionError):
+            SpectreClient(port=port, token="wrong")
+        # no auth frame first: server refuses the request
+        with pytest.raises((RuntimeError, ConnectionError)):
+            with SpectreClient(port=port) as client:  # no token sent
+                client.infer(x)
+        # auth must also be accepted by a tokenless server (no-op handshake)
+    finally:
+        proc.kill()
+
+
+def test_serving_tokenless_accepts_noop_auth(served):
+    """A client that always authenticates still works against a server with
+    no token configured (SPA1 is a no-op handshake there)."""
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    x = np.fromfile(f"{outdir}/example_input.f32",
+                    np.float32).reshape(4, 3, 8, 8)
+    with SpectreClient(port=port, token="anything") as client:
+        assert client.infer(x).shape == (4, 10)
+
+
+def test_serving_nonloopback_requires_token(served, native_build):
+    """Binding a non-loopback host without a token must refuse to start —
+    an exposed port is not allowed to be an open inference endpoint."""
+    import subprocess
+
+    outdir, _ = served
+    env = {k: v for k, v in os.environ.items() if k != "SPECTRE_SERVE_TOKEN"}
+    r = subprocess.run(
+        [os.path.join(native_build, "spectre_serve"),
+         "--weights", f"{outdir}/weights.stw", "--meta", f"{outdir}/meta.txt",
+         "--host", "0.0.0.0", "--port", "0"],
+        capture_output=True, text=True, env=env, timeout=30)
+    assert r.returncode == 2
+    assert "requires a token" in r.stderr

@@ -211,3 +211,27 @@ def test_resume_continues_epochs_not_restarts(tmp_path):
     r3 = train_from_config(cfg(4), synthetic=True, resume=True,
                            write_metrics=False)
     assert int(r3.state.step) == 2 * steps_after_2
+
+
+def test_mid_epoch_resume_skips_trained_prefix(tmp_path):
+    """A MID-epoch restore (the preemption case) must finish at exactly
+    epochs*steps_per_epoch — skipping the interrupted epoch's trained
+    prefix — not replay it and overrun the cosine schedule (round-3
+    review finding)."""
+    from spectre_tpu.train.loop import train_from_config
+
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=1, num_classes=10,
+        embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=24,
+        dropout=0.0, batch_size=512, val_batch_size=512, epochs=1,
+        learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+        checkpoint_dir=str(tmp_path), keep_checkpoints=2,
+    )
+    # synthetic mnist train split is 4096 -> 8 steps/epoch at B=512
+    r1 = train_from_config(cfg, synthetic=True, max_steps=3,
+                           write_metrics=False)
+    assert int(r1.state.step) == 3
+    r2 = train_from_config(cfg, synthetic=True, resume=True,
+                           write_metrics=False)
+    assert int(r2.state.step) == 8  # pre-fix: 3 + 8 = 11 (overran schedule)
