@@ -4,6 +4,11 @@ from spectre_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from spectre_tpu.parallel.fsdp import (
+    apply_fsdp,
+    fsdp_shardings,
+    pin_step_shardings,
+)
 from spectre_tpu.parallel.tp import (
     SPECTRE_TP_RULES,
     VIT_TP_RULES,
@@ -14,4 +19,5 @@ from spectre_tpu.parallel.tp import (
 __all__ = [
     "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "VIT_TP_RULES", "SPECTRE_TP_RULES", "apply_tp", "tp_shardings",
+    "apply_fsdp", "fsdp_shardings", "pin_step_shardings",
 ]
