@@ -153,10 +153,29 @@ def train_from_config(
         model, tx, example_input(config, batch_size=batch_size),
         seed=getattr(config, "random_seed", 42),
     )
-    if model_parallel > 1:
+    rules = VIT_TP_RULES if getattr(config, "model", "") == "vit" \
+        else SPECTRE_TP_RULES
+    fsdp = bool(getattr(config, "fsdp", False))
+    if fsdp and pcount > 1:
+        raise ValueError(
+            "fsdp=True with multiple processes is not supported yet: the "
+            "multi-host path stages process-local replicated state "
+            "(parallel/multihost_smoke.py); FSDP there needs global-array "
+            "construction from per-host shards. Use fsdp on a single "
+            "process (N local chips) or plain DP across hosts.")
+    if fsdp:
+        # FSDP/ZeRO-3: params + AdamW moments sharded over the data axis
+        # (composed with the TP rules when a model axis exists); the step is
+        # re-jitted below with these shardings pinned (parallel/fsdp.py)
+        from spectre_tpu.parallel import apply_fsdp
+        from spectre_tpu.parallel.fsdp import MIN_SHARD_SIZE
+
+        state = apply_fsdp(
+            state, mesh,
+            min_size=int(getattr(config, "fsdp_min_size", MIN_SHARD_SIZE)),
+            tp_rules=rules if model_parallel > 1 else None)
+    elif model_parallel > 1:
         # tensor parallelism: GSPMD sharding rules by model family
-        rules = VIT_TP_RULES if getattr(config, "model", "") == "vit" \
-            else SPECTRE_TP_RULES
         state = apply_tp(state, mesh, rules)
     elif pcount == 1:
         # replicate params/opt over the mesh; batches arrive data-sharded
@@ -184,6 +203,13 @@ def train_from_config(
     train_step = make_train_step(
         model, augment_fn=augment,
         grad_accum_steps=int(getattr(config, "grad_accum_steps", 1)))
+    if fsdp:
+        # pin the carried state's FSDP shardings on the step's output —
+        # GSPMD's free propagation drifts sharded params back to replicated
+        # after the first update (measured; parallel/fsdp.py)
+        from spectre_tpu.parallel import pin_step_shardings
+
+        train_step = pin_step_shardings(train_step, state)
     eval_step = make_eval_step(model)
 
     name = experiment_name(config)

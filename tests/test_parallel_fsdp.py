@@ -165,3 +165,33 @@ def test_fsdp_composes_with_tp(devices):
             if "data" in str(p.sharding.spec)
             and "model" in str(p.sharding.spec)]
     assert both, "no param is simultaneously TP- and FSDP-sharded"
+
+
+def test_train_loop_fsdp_end_to_end_with_resume(tmp_path):
+    """config.fsdp=True drives the real loop: sharded state trains, saves an
+    orbax checkpoint, and resumes (StandardRestore lands on the template's
+    FSDP shardings) — finishing at exactly epochs*steps_per_epoch."""
+    from types import SimpleNamespace
+
+    from spectre_tpu.train.loop import train_from_config
+
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=1, num_classes=10,
+        embed_dim=64, num_encoders=1, num_heads=2, hidden_dim=128,
+        dropout=0.0, batch_size=512, val_batch_size=512, epochs=1,
+        learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+        checkpoint_dir=str(tmp_path), keep_checkpoints=2, fsdp=True,
+        fsdp_min_size=1024,  # the tiny test model's kernels are < 2**14
+    )
+    # synthetic mnist train split is 4096 -> 8 steps/epoch at B=512
+    r1 = train_from_config(cfg, synthetic=True, max_steps=3,
+                           write_metrics=False)
+    assert int(r1.state.step) == 3
+    assert any("data" in str(p.sharding.spec)
+               for p in jax.tree.leaves(r1.state.params)), \
+        "loop ran without FSDP shardings"
+    r2 = train_from_config(cfg, synthetic=True, resume=True,
+                           write_metrics=False)
+    assert int(r2.state.step) == 8
+    assert np.isfinite(r2.best_val_accuracy)
