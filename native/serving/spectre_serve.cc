@@ -13,6 +13,9 @@
 //             framed by the server's meta — SPQ2's explicit dims let the
 //             server REJECT a shape-mismatched client instead of silently
 //             computing logits on misaligned pixels)
+//   request : "SPQ3" | u32 batch | u32 C | u32 H | u32 W | batch*C*H*W uint8
+//             (raw 0-255 pixels at 1/4 the wire bytes; scaled by 1/255
+//             server-side — bit-identical to an SPQ2 client sending x/255)
 //   auth    : "SPA1" | u32 len | len bytes token  (must be the FIRST frame
 //             on a connection when the server has a token; server replies
 //             "SPOK" on success, "SPER"+close otherwise. Accepted as a
@@ -220,20 +223,24 @@ struct Server {
         }
       }
       const bool v2 = std::strncmp(magic, "SPQ2", 4) == 0;
-      if (!v2 && std::strncmp(magic, "SPQ1", 4) != 0) {
+      // SPQ3: raw uint8 pixels (1/4 the wire bytes), scaled by 1/255 here —
+      // protocol parity with the JAX backend (serving/jax_server.py)
+      const bool v3 = std::strncmp(magic, "SPQ3", 4) == 0;
+      if (!v2 && !v3 && std::strncmp(magic, "SPQ1", 4) != 0) {
         send_error(fd, "bad magic");
         break;
       }
+      const size_t elem_bytes = v3 ? 1 : sizeof(float);
       uint32_t batch = 0;
       if (!read_full(fd, &batch, 4)) break;
       uint32_t dims[3] = {(uint32_t)cfg.in_channels, (uint32_t)cfg.img_size,
                           (uint32_t)cfg.img_size};
-      if (v2 && !read_full(fd, dims, 12)) break;
+      if ((v2 || v3) && !read_full(fd, dims, 12)) break;
       const size_t req_elems = (size_t)dims[0] * dims[1] * dims[2];
       if (req_elems != img_elems) {
         // drain the (client-framed) payload, reject, keep the connection
         std::vector<char> sink(1 << 16);
-        size_t left = sizeof(float) * req_elems * batch;
+        size_t left = elem_bytes * req_elems * batch;
         bool ok = batch <= (1u << 20);
         while (ok && left > 0) {
           size_t chunk = std::min(left, sink.size());
@@ -257,7 +264,7 @@ struct Server {
           break;
         }
         std::vector<char> sink(1 << 16);
-        size_t left = sizeof(float) * img_elems * batch;
+        size_t left = elem_bytes * img_elems * batch;
         bool ok = true;
         while (left > 0 && ok) {
           size_t chunk = std::min(left, sink.size());
@@ -271,8 +278,17 @@ struct Server {
       Job job;
       job.batch = batch;
       job.input.resize(img_elems * batch);
-      if (!read_full(fd, job.input.data(),
-                     sizeof(float) * job.input.size())) break;
+      if (v3) {
+        std::vector<uint8_t> raw(img_elems * batch);
+        if (!read_full(fd, raw.data(), raw.size())) break;
+        // true division (not reciprocal-multiply): bit-identical to a
+        // client computing x/255 in f32 and sending SPQ2
+        for (size_t i = 0; i < raw.size(); ++i)
+          job.input[i] = (float)raw[i] / 255.0f;
+      } else if (!read_full(fd, job.input.data(),
+                            sizeof(float) * job.input.size())) {
+        break;
+      }
       auto fut = job.done.get_future();
       {
         std::lock_guard<std::mutex> lk(mu);

@@ -6,6 +6,10 @@ over a length-prefixed TCP protocol:
     request : b"SPQ2" | u32 batch | u32 C | u32 H | u32 W | float32 pixels
               (the explicit dims let the server reject a shape-mismatched
               client instead of silently mis-framing the stream)
+    request : b"SPQ3" | u32 batch | u32 C | u32 H | u32 W | uint8 pixels
+              (raw 0-255 pixels — what image datasets store — at 1/4 the
+              wire and host->device bytes; the server upcasts and scales
+              by 1/255 on the accelerator. Use ``infer_u8``.)
     auth    : b"SPA1" | u32 len | token bytes (first frame; server replies
               b"SPOK" — required when the daemon has a token configured)
     response: b"SPR1" | u32 batch | u32 classes | float32 logits
@@ -118,12 +122,26 @@ class SpectreClient:
                 raise RuntimeError(f"bad auth response magic {head!r}")
 
     def infer(self, images: np.ndarray) -> np.ndarray:
-        """images: [B, C, H, W] float32 -> logits [B, num_classes]."""
-        x = np.ascontiguousarray(images, dtype=np.float32)
+        """images: [B, C, H, W] float32 (normalized to [0, 1]) -> logits
+        [B, num_classes]."""
+        return self._request(images, np.float32, b"SPQ2")
+
+    def infer_u8(self, images: np.ndarray) -> np.ndarray:
+        """images: [B, C, H, W] uint8 RAW pixels (0-255) -> logits.
+
+        Ships 1/4 the bytes of ``infer`` — the wire AND the server's
+        host->device transfer — and the server computes ``x / 255`` on the
+        accelerator. Numerically identical to ``infer(images / 255.0)``
+        when the f32 inputs are exactly representable as k/255 (they are,
+        when they came from u8 pixels in the first place)."""
+        return self._request(images, np.uint8, b"SPQ3")
+
+    def _request(self, images: np.ndarray, dtype, magic: bytes) -> np.ndarray:
+        x = np.ascontiguousarray(images, dtype=dtype)
         if x.ndim != 4:
             raise ValueError(f"images must be [B, C, H, W]; got {x.shape}")
         batch, c, h, w = x.shape
-        self._sock.sendall(b"SPQ2" + struct.pack("<IIII", batch, c, h, w)
+        self._sock.sendall(magic + struct.pack("<IIII", batch, c, h, w)
                            + x.tobytes())
         head = self._recv(4)
         if head == b"SPER":

@@ -248,3 +248,18 @@ def test_serving_nonloopback_requires_token(served, native_build):
         capture_output=True, text=True, env=env, timeout=30)
     assert r.returncode == 2
     assert "requires a token" in r.stderr
+
+
+def test_serving_u8_wire_matches_f32(served):
+    """SPQ3 (raw u8 pixels, /255 server-side) must be bit-identical to the
+    f32 wire path for u8-born inputs — same protocol as the JAX backend."""
+    from spectre_tpu.serving import SpectreClient
+
+    outdir, port = served
+    u8 = np.random.default_rng(11).integers(
+        0, 256, (4, 3, 8, 8)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    with SpectreClient(port=port) as c:
+        got_u8 = c.infer_u8(u8)
+        got_f32 = c.infer(f32)
+    np.testing.assert_array_equal(got_u8, got_f32)
