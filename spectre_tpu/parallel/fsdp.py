@@ -20,6 +20,13 @@ layout composes with tensor parallelism: TP rules claim their axis first
 (over ``model``), FSDP then shards the largest still-unsharded axis over
 ``data`` — the standard 2-D FSDPxTP layout.
 
+Multi-host: the same annotations work when the data axis spans processes.
+``device_put`` cannot place a host value on a non-fully-addressable
+sharding, so `_put` builds the global arrays via
+``jax.make_array_from_callback`` — every process holds an identical
+replicated host copy (seeded init or an orbax restore template) and slices
+out its own shards (tests/test_multihost.py, the ``--fsdp`` worker leg).
+
 The reference has no distributed machinery at all (SURVEY.md §2.3 — single
 ``model.to(device)``, /root/reference/spectre_vit/repl/train.py:41,59); this
 module is TPU-native capability the reference never had, validated by exact
@@ -32,6 +39,8 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spectre_tpu.parallel.mesh import DATA_AXIS
@@ -59,6 +68,28 @@ def _with_data_axis(spec: P, shape, data_size: int, min_size: int) -> P:
     d = max(candidates, key=lambda i: shape[i])
     entries[d] = DATA_AXIS
     return P(*entries)
+
+
+def _put(x, sh: NamedSharding):
+    """Place one leaf on ``sh``, including across processes.
+
+    Single-process meshes take the cheap ``device_put``. When the mesh spans
+    processes the sharding is not fully addressable and ``device_put`` of a
+    host value is not allowed — but every process holds an identical
+    replicated copy (seeded init / orbax template), so each host materializes
+    its addressable shards by slicing that copy (`make_array_from_callback`).
+    Typed PRNG keys round-trip through their raw key data (numpy cannot hold
+    extended dtypes)."""
+    if sh.is_fully_addressable:
+        return jax.device_put(x, sh)
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        arr = jax.make_array_from_callback(data.shape, sh,
+                                           lambda idx: data[idx])
+        return jax.random.wrap_key_data(arr)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sh,
+                                        lambda idx: host[idx])
 
 
 def fsdp_shardings(params, mesh: Mesh, *, min_size: int = MIN_SHARD_SIZE,
@@ -90,7 +121,7 @@ def _place_like_params(node, params_treedef, param_sh, replicated):
     when the carried state's shardings change between step 1 and step 2."""
     try:
         if jax.tree.structure(node) == params_treedef:
-            return jax.tree.map(jax.device_put, node, param_sh)
+            return jax.tree.map(_put, node, param_sh)
     except Exception:
         pass
     if hasattr(node, "_fields"):  # optax NamedTuple states
@@ -105,7 +136,7 @@ def _place_like_params(node, params_treedef, param_sh, replicated):
     if isinstance(node, dict):
         return {k: _place_like_params(v, params_treedef, param_sh, replicated)
                 for k, v in node.items()}
-    return jax.device_put(node, replicated)
+    return _put(node, replicated)
 
 
 def pin_step_shardings(train_step, placed_state):
@@ -135,8 +166,9 @@ def apply_fsdp(state, mesh: Mesh, *, min_size: int = MIN_SHARD_SIZE,
     param_sh = fsdp_shardings(state.params, mesh, min_size=min_size,
                               tp_rules=tp_rules)
     replicated = NamedSharding(mesh, P())
-    params = jax.tree.map(jax.device_put, state.params, param_sh)
+    params = jax.tree.map(_put, state.params, param_sh)
     opt_state = _place_like_params(
         state.opt_state, jax.tree.structure(state.params), param_sh, replicated)
-    rest = jax.device_put(state.replace(params=None, opt_state=None), replicated)
+    rest = jax.tree.map(lambda x: _put(x, replicated),
+                        state.replace(params=None, opt_state=None))
     return rest.replace(params=params, opt_state=opt_state)

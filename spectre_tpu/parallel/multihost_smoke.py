@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--distill-loop", action="store_true",
                    help="run distill_from_config (teacher-logit cache over "
                         "per-process slices, dual views, KD+CE step, eval)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="run the bare step with ZeRO-3 state: params + AdamW "
+                        "moments sharded over the cross-process data axis "
+                        "(parallel/fsdp.py), shardings pinned, orbax "
+                        "save/restore of the sharded layout")
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
@@ -158,6 +163,25 @@ def main(argv=None):
     state = create_train_state(model, make_optimizer(cfg, 1),
                                jnp.zeros((global_batch, 3, 8, 8)), seed=0)
     step = make_train_step(model)
+    fsdp_sharded = None
+    if args.fsdp:
+        # ZeRO-3 across processes: the data axis spans both hosts, so each
+        # process holds only ITS shards of params + AdamW moments; the same
+        # train step runs with the carried shardings pinned
+        from spectre_tpu.parallel import apply_fsdp, pin_step_shardings
+
+        state = apply_fsdp(state, mesh, min_size=256)
+        step = pin_step_shardings(step, state)
+        n_data = mesh.devices.shape[0]
+        big = [p for p in jax.tree.leaves(state.params) if p.size >= 256]
+        assert big, "no param leaf large enough to shard"
+        fsdp_sharded = all(
+            "data" in str(p.sharding.spec)
+            # each process addresses exactly its slice: local shard bytes =
+            # global/size_of_data_axis x local devices
+            and sum(s.data.size for s in p.addressable_shards)
+                == p.size // n_data * len(p.sharding.addressable_devices)
+            for p in big)
     state, metrics = step(state, x, y)
     loss = float(jax.device_get(metrics["loss"]))
 
@@ -182,6 +206,7 @@ def main(argv=None):
         "loss": loss,
         "step": int(jax.device_get(state.step)),
         "restore_exact": restored_ok,
+        "fsdp_sharded": fsdp_sharded,
     }), flush=True)
 
 

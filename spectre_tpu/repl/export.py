@@ -58,7 +58,9 @@ def export_from_config(config, checkpoint: str | None = None,
         # deployment restores the BEST-metric step when one is recorded
         # (the reference exports model_best.pt, export.py:58-59), falling
         # back to latest
-        state = mgr.restore(state, step=mgr.best_step or mgr.latest_step)
+        best = mgr.best_step
+        state = mgr.restore(
+            state, step=best if best is not None else mgr.latest_step)
         variables = state.variables()
 
     exported = export_forward(model, variables, jax.numpy.asarray(x))

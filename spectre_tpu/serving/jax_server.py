@@ -90,6 +90,7 @@ class JaxServer:
         self._listener: socket.socket | None = None
         self._threads: list[threading.Thread] = []
         self._uds_path: str | None = None
+        self._lock_fd: int | None = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -109,8 +110,30 @@ class JaxServer:
         return s.getsockname()[1]
 
     def listen_uds(self, path: str) -> str:
+        import fcntl
+        import stat
+
         s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        # Serialize probe+unlink+bind across concurrently starting servers
+        # (TOCTOU: two racers can both pass the liveness probe and the
+        # second's unlink orphans the first's fresh socket). The sidecar
+        # flock is held for the server's lifetime — same recipe as the
+        # native daemon (native/serving/spectre_serve.cc).
+        self._lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o600)
+        try:
+            fcntl.flock(self._lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(self._lock_fd)
+            self._lock_fd = None
+            raise OSError(
+                f"another server is starting/running on {path} "
+                f"(lock {path}.lock)")
         if os.path.exists(path):
+            # never delete a non-socket file (a typo'd path must not destroy
+            # data); connect() to a regular file also reports ECONNREFUSED,
+            # so the probe alone cannot tell them apart
+            if not stat.S_ISSOCK(os.stat(path).st_mode):
+                raise OSError(f"{path} exists and is not a socket")
             # refuse to hijack a live server; unlink only a dead socket
             probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             try:
@@ -150,6 +173,9 @@ class JaxServer:
                 os.unlink(self._uds_path)
             except OSError:
                 pass
+        if self._lock_fd is not None:
+            os.close(self._lock_fd)  # releases the flock
+            self._lock_fd = None
 
     def __enter__(self):
         return self
@@ -216,8 +242,14 @@ class JaxServer:
                     batch, qc, qh, qw = struct.unpack("<IIII", hdr)
                     if (qc, qh, qw) != (c, h, w):
                         # drain the mis-shaped payload so the connection
-                        # survives for the client's next (valid) request
+                        # survives for the client's next (valid) request —
+                        # but only up to 1 GiB: dims and batch are client
+                        # framing, and buffering an arbitrarily large bogus
+                        # payload is a memory hole, not a courtesy
                         n_bad = dtype().itemsize * batch * qc * qh * qw
+                        if n_bad > 1 << 30:
+                            _send_error(conn, "bad dims")
+                            return
                         if _read_full(conn, n_bad) is None:
                             return
                         if not _send_error(
@@ -380,7 +412,9 @@ def from_config(config, checkpoint: str | None = None, **kw) -> JaxServer:
         tx = make_optimizer(config, steps_per_epoch=1)
         state = create_train_state(model, tx, x0)
         mgr = CheckpointManager(checkpoint)
-        state = mgr.restore(state, step=mgr.best_step or mgr.latest_step)
+        best = mgr.best_step
+        state = mgr.restore(
+            state, step=best if best is not None else mgr.latest_step)
         variables = state.variables()
 
     def apply_fn(images):

@@ -156,17 +156,13 @@ def train_from_config(
     rules = VIT_TP_RULES if getattr(config, "model", "") == "vit" \
         else SPECTRE_TP_RULES
     fsdp = bool(getattr(config, "fsdp", False))
-    if fsdp and pcount > 1:
-        raise ValueError(
-            "fsdp=True with multiple processes is not supported yet: the "
-            "multi-host path stages process-local replicated state "
-            "(parallel/multihost_smoke.py); FSDP there needs global-array "
-            "construction from per-host shards. Use fsdp on a single "
-            "process (N local chips) or plain DP across hosts.")
     if fsdp:
         # FSDP/ZeRO-3: params + AdamW moments sharded over the data axis
         # (composed with the TP rules when a model axis exists); the step is
-        # re-jitted below with these shardings pinned (parallel/fsdp.py)
+        # re-jitted below with these shardings pinned (parallel/fsdp.py).
+        # Works across processes too: every process holds the identical
+        # seeded init, and apply_fsdp builds the global sharded arrays from
+        # per-host slices of that copy (fsdp._put).
         from spectre_tpu.parallel import apply_fsdp
         from spectre_tpu.parallel.fsdp import MIN_SHARD_SIZE
 

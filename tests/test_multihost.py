@@ -85,6 +85,36 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     assert abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-6
 
 
+def test_two_process_fsdp_step_and_sharded_checkpoint(tmp_path):
+    """ZeRO-3 across processes: params + AdamW moments sharded over a data
+    axis that SPANS both hosts (each process holds only its shards, built
+    from the identical seeded init by fsdp._put), the pinned train step, and
+    an orbax save/restore of the sharded layout."""
+    port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(_spawn_worker(
+            [sys.executable, "-m", "spectre_tpu.parallel.multihost_smoke",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--ckpt-dir", ckpt_dir, "--fsdp"], env, tmp_path, pid))
+
+    outs = [_await_worker(p, ef) for p, ef in procs]
+
+    for o in outs:
+        assert o["process_count"] == 2
+        assert o["global_devices"] == 4
+        assert o["step"] == 1
+        assert o["fsdp_sharded"] is True
+        assert o["restore_exact"] is True
+    # SPMD: both processes computed the same global loss
+    assert abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-6
+
+
 def test_two_process_full_train_loop(tmp_path):
     """The REAL train_from_config across 2 processes: strided per-process
     data slices, prefetch staging via make_array_from_process_local_data,

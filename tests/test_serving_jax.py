@@ -152,6 +152,42 @@ def test_jax_serving_uds(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_jax_serving_uds_safety(tmp_path):
+    """UDS bind hygiene (parity with the native daemon): never unlink a
+    non-socket file, refuse a live server's socket, and serialize the
+    probe+unlink+bind sequence with a sidecar flock."""
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=3,
+                       num_classes=10, embed_dim=16, num_encoders=1,
+                       num_heads=2, hidden_dim=24, dropout=0.0)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 3, 8, 8)))
+
+    def apply_fn(images):
+        return model.apply(variables, images)
+
+    # a regular file at the socket path must survive
+    data = tmp_path / "precious.txt"
+    data.write_text("do not delete")
+    with pytest.raises(OSError, match="not a socket"):
+        JaxServer(apply_fn, (3, 8, 8)).listen_uds(str(data))
+    assert data.read_text() == "do not delete"
+
+    # a second server on a live socket path must refuse (flock held)
+    path = str(tmp_path / "live.sock")
+    with JaxServer(apply_fn, (3, 8, 8)) as srv:
+        srv.listen_uds(path)
+        with pytest.raises(OSError, match="starting/running"):
+            JaxServer(apply_fn, (3, 8, 8)).listen_uds(path)
+        x = _rand(2, seed=11)
+        with SpectreClient(uds=path) as c:
+            np.testing.assert_allclose(c.infer(x), np.asarray(apply_fn(x)),
+                                       rtol=1e-5, atol=1e-6)
+    # after close the lock is released and the path is reusable
+    with JaxServer(apply_fn, (3, 8, 8)) as srv2:
+        srv2.listen_uds(path)
+        with SpectreClient(uds=path) as c:
+            assert c.infer(_rand(1)).shape == (1, 10)
+
+
 def test_jax_serving_u8_wire_matches_f32(served_jax):
     """SPQ3 (raw u8 pixels, /255 on the accelerator) must match the f32
     wire path for u8-born inputs — and a mixed u8/f32 concurrent load must
