@@ -177,7 +177,20 @@ def distill_from_config(
     state = create_train_state(student, tx,
                                example_input(config, batch_size=batch_size),
                                seed=getattr(config, "random_seed", 42))
-    if pcount == 1:
+    fsdp = bool(getattr(config, "fsdp", False))
+    if fsdp:
+        # FSDP/ZeRO-3 for the STUDENT state (params + AdamW moments over the
+        # data axis — parallel/fsdp.py; works across processes via fsdp._put).
+        # The frozen teacher stays replicated on purpose: it carries no
+        # optimizer moments, so sharding it saves little and adds per-step
+        # all-gathers to an inference-only pass.
+        from spectre_tpu.parallel import apply_fsdp
+        from spectre_tpu.parallel.fsdp import MIN_SHARD_SIZE
+
+        state = apply_fsdp(
+            state, mesh,
+            min_size=int(getattr(config, "fsdp_min_size", MIN_SHARD_SIZE)))
+    elif pcount == 1:
         state = jax.device_put(state, replicated_sharding(mesh))
     # (multi-process: identical seeded init on every process; GSPMD treats
     # the process-local state as replicated — tests/test_multihost.py)
@@ -208,6 +221,13 @@ def distill_from_config(
         temperature=float(getattr(config, "distill_temperature", 2.0)),
         kd_weight=alpha, ce_weight=1.0 - alpha,
     )
+    if fsdp:
+        # pin the carried state's FSDP shardings on the step output — free
+        # GSPMD propagation drifts sharded params back to replicated after
+        # the first update (measured; parallel/fsdp.py)
+        from spectre_tpu.parallel import pin_step_shardings
+
+        step_fn = pin_step_shardings(step_fn, state)
     eval_step = make_eval_step(student)
 
     img_size = int(config.img_size)

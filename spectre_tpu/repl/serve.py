@@ -70,8 +70,21 @@ def main(argv=None):
                 token = f.readline().strip()
         elif os.environ.get("SPECTRE_SERVE_TOKEN"):
             token = os.environ["SPECTRE_SERVE_TOKEN"]
+        import jax as _jax
+
+        # multi-chip host: shard every bucket over a data mesh spanning all
+        # local chips — one SPMD forward per request batch
+        mesh = None
+        if _jax.device_count() > 1:
+            from spectre_tpu.parallel import create_mesh
+
+            mesh = create_mesh()
+            if args.max_batch % mesh.devices.shape[0]:
+                sys.exit(f"--max-batch {args.max_batch} must divide over "
+                         f"{mesh.devices.shape[0]} chips")
         srv = jax_server.from_config(cfg, checkpoint=args.ckpt,
-                                     max_batch=args.max_batch, token=token)
+                                     max_batch=args.max_batch, token=token,
+                                     mesh=mesh)
         if args.uds:
             addr = srv.listen_uds(args.uds)
             where = addr

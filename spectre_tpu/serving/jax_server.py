@@ -71,16 +71,38 @@ class JaxServer:
 
     def __init__(self, apply_fn, input_shape: tuple[int, int, int],
                  max_batch: int = 256, batch_timeout_s: float = 0.0,
-                 token: str | None = None):
+                 token: str | None = None, mesh=None):
         import jax.numpy as jnp
 
-        self._apply = jax.jit(apply_fn)
-        # SPQ3 wire: raw u8 pixels (what image datasets actually store) ship
-        # at 1/4 the bytes of f32 and upcast/scale ON the accelerator — the
-        # host->device transfer is the serving bottleneck long before the
-        # forward is (measured: BASELINE.md serving section)
-        self._apply_u8 = jax.jit(
-            lambda x: apply_fn(x.astype(jnp.float32) / 255.0))
+        # multi-chip serving: with a mesh, every bucket is sharded over the
+        # data axis and the forward runs as ONE SPMD program across all
+        # chips (params replicate via GSPMD; activations stay sharded).
+        # Buckets are padded up to a multiple of the data-axis size so the
+        # batch always divides.
+        self.mesh = mesh
+        self._min_bucket = 1
+        if mesh is not None:
+            from spectre_tpu.parallel import batch_sharding
+
+            self._min_bucket = int(mesh.devices.shape[0])
+            if max_batch % self._min_bucket:
+                raise ValueError(
+                    f"max_batch={max_batch} must divide over the mesh data "
+                    f"axis ({self._min_bucket} devices)")
+            bs = batch_sharding(mesh)
+            self._apply = jax.jit(apply_fn, in_shardings=bs)
+            self._apply_u8 = jax.jit(
+                lambda x: apply_fn(x.astype(jnp.float32) / 255.0),
+                in_shardings=bs)
+        else:
+            self._apply = jax.jit(apply_fn)
+            # SPQ3 wire: raw u8 pixels (what image datasets actually store)
+            # ship at 1/4 the bytes of f32 and upcast/scale ON the
+            # accelerator — the host->device transfer is the serving
+            # bottleneck long before the forward is (measured: BASELINE.md
+            # serving section)
+            self._apply_u8 = jax.jit(
+                lambda x: apply_fn(x.astype(jnp.float32) / 255.0))
         self.input_shape = tuple(int(d) for d in input_shape)  # (C, H, W)
         self.max_batch = int(max_batch)
         self.batch_timeout_s = float(batch_timeout_s)
@@ -375,6 +397,12 @@ class JaxServer:
                 deadline = None  # only wait once
             x = np.concatenate([p[0] for p in parts], axis=0)
             bucket = min(self._bucket(total), self.max_batch)
+            if bucket % self._min_bucket:
+                # multi-chip: round up to a multiple of the data-axis size
+                # so the bucket shards evenly (still a handful of compiles)
+                bucket = min(
+                    -(-bucket // self._min_bucket) * self._min_bucket,
+                    self.max_batch)
             if bucket > total:
                 x = np.concatenate(
                     [x, np.zeros((bucket - total, c, h, w), wire)], axis=0)
@@ -393,7 +421,9 @@ class JaxServer:
 def from_config(config, checkpoint: str | None = None, **kw) -> JaxServer:
     """Build a JaxServer for a parsed config: construct the model, seed or
     restore params, close over a deterministic apply. Mirrors what
-    ``repl/export.py`` stages for the native daemon, minus the export."""
+    ``repl/export.py`` stages for the native daemon, minus the export.
+    Pass ``mesh=create_mesh()`` to serve one SPMD forward across every
+    local chip (buckets shard over the data axis)."""
     import jax.numpy as jnp
 
     from spectre_tpu.models import build_model, example_input

@@ -184,6 +184,38 @@ def test_distill_resume_continues(tmp_path):
     assert np.isfinite(metrics["loss"])
 
 
+def test_distill_loop_fsdp_end_to_end_with_resume(tmp_path):
+    """config.fsdp=True drives the distill loop at train-loop parity: the
+    STUDENT state (params + AdamW moments) is ZeRO-3-sharded over the data
+    axis, the step runs with pinned shardings, checkpoints save and resume
+    onto the sharded layout; the frozen teacher stays replicated."""
+    from spectre_tpu.distill.loop import distill_from_config
+
+    teacher, tvars = _tiny_clf()
+    # embed 64 / hidden 128: _tiny_distill_cfg's embed-16 student has no
+    # leaf above min_size, which would make the sharding assertions vacuous
+    cfg = _tiny_distill_cfg(tmp_path, batch_size=512, epochs=1, fsdp=True,
+                            fsdp_min_size=1024, embed_dim=64, hidden_dim=128)
+    state1, _ = distill_from_config(
+        cfg, max_steps=3, synthetic=True, teacher=teacher,
+        teacher_variables=tvars, write_metrics=False)
+    assert int(state1.step) == 3
+    assert any("data" in str(p.sharding.spec)
+               for p in jax.tree.leaves(state1.params)), \
+        "distill loop ran without FSDP shardings"
+    # moments are sharded too (ZeRO-3, not just ZeRO-0 params)
+    mus = [m for m in jax.tree.leaves(state1.opt_state)
+           if hasattr(m, "sharding") and "data" in str(m.sharding.spec)]
+    assert mus, "no AdamW moment is FSDP-sharded"
+    state2, metrics = distill_from_config(
+        cfg, synthetic=True, teacher=teacher, teacher_variables=tvars,
+        write_metrics=False, resume=True)
+    assert int(state2.step) == 8
+    assert np.isfinite(metrics["loss"])
+    assert any("data" in str(p.sharding.spec)
+               for p in jax.tree.leaves(state2.params))
+
+
 def test_distill_mid_epoch_resume_skips_trained_prefix(tmp_path):
     """Mirror of the train-loop mid-epoch resume contract: resuming a
     preempted (mid-epoch) distillation finishes at exactly

@@ -188,6 +188,48 @@ def test_jax_serving_uds_safety(tmp_path):
             assert c.infer(_rand(1)).shape == (1, 10)
 
 
+def test_jax_serving_multichip_mesh(devices):
+    """mesh= serves ONE SPMD forward across all devices: buckets pad up to a
+    multiple of the data-axis size, shard over it, and replies stay
+    identical to the single-device path (including odd batches and the u8
+    wire)."""
+    from spectre_tpu.parallel import create_mesh
+
+    model = SpectreViT(img_size=8, patch_size=4, in_channels=3,
+                       num_classes=10, embed_dim=16, num_encoders=1,
+                       num_heads=2, hidden_dim=24, dropout=0.0)
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 3, 8, 8)))
+
+    def apply_fn(images):
+        return model.apply(variables, images)
+
+    mesh = create_mesh()
+    n_data = mesh.devices.shape[0]
+    assert n_data == 8  # conftest's virtual 8-device mesh
+
+    with pytest.raises(ValueError, match="must divide"):
+        JaxServer(apply_fn, (3, 8, 8), max_batch=n_data + 1, mesh=mesh)
+
+    with JaxServer(apply_fn, (3, 8, 8), max_batch=16, mesh=mesh) as srv:
+        # the compiled forward really shards the batch over the data axis
+        probe = np.zeros((16, 3, 8, 8), np.float32)
+        assert "data" in str(srv._apply.lower(probe).compile()
+                             .input_shardings[0][0].spec)
+        port = srv.listen_tcp()
+        for b in (1, 3, 8, 16, 21):  # sub-mesh, odd, exact, full, oversize
+            x = _rand(b, seed=40 + b)
+            want = np.asarray(apply_fn(x))
+            with SpectreClient(port=port) as c:
+                got = c.infer(x)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        u8 = np.random.default_rng(44).integers(
+            0, 256, (5, 3, 8, 8)).astype(np.uint8)
+        with SpectreClient(port=port) as c:
+            np.testing.assert_allclose(
+                c.infer_u8(u8), np.asarray(apply_fn(u8.astype(np.float32) / 255.0)),
+                rtol=1e-5, atol=1e-6)
+
+
 def test_jax_serving_u8_wire_matches_f32(served_jax):
     """SPQ3 (raw u8 pixels, /255 on the accelerator) must match the f32
     wire path for u8-born inputs — and a mixed u8/f32 concurrent load must
