@@ -60,6 +60,19 @@ def per_head_stacked(g, inv, h, d):
     return out.sum(axis=0)
 
 
+def blocked(g, binv, h, d, blk):
+    """BLOCK-structured permutation: rows move in whole blk-row blocks
+    (binv: [h, d/blk] block-level inverse perms), so every take reads a
+    [blk*B]-contiguous row — full (8,128) HBM tiles instead of 1-of-8.
+    The permutation DISTRIBUTION differs from uniform, so this row is
+    comparable on traffic, not numerics."""
+    gh = g.reshape(h, d // blk, -1)
+    acc = jnp.take(gh[0], binv[0], axis=0)
+    for i in range(1, h):
+        acc = acc + jnp.take(gh[i], binv[i], axis=0)
+    return acc.reshape(d, -1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--d", type=int, default=33280)
@@ -71,10 +84,16 @@ def main(argv=None):
                         "row-DMA Pallas kernel (ops/pallas/bwd_gather.py)")
     p.add_argument("--rows", type=int, nargs="*", default=[64, 256, 1024],
                    help="rows-per-program sweep for --pallas")
+    p.add_argument("--blocks", type=int, nargs="*", default=[],
+                   help="block sizes for the block-structured permutation "
+                        "row (rows move in whole blk-row blocks)")
     p.add_argument("--routed", action="store_true",
                    help="also time the 3-stage Clos routing formulation "
                         "(ops/routing.py: the permutation as batched one-hot "
                         "MXU contractions — no sub-tile row access at all)")
+    p.add_argument("--skip-base", action="store_true",
+                   help="skip the flat/per-head baseline rows (already in "
+                        "BASELINE.md) — useful when sweeping --blocks only")
     args = p.parse_args(argv)
     from spectre_tpu.utils.cache import enable_compilation_cache
 
@@ -86,12 +105,38 @@ def main(argv=None):
     bytes_min = (g.nbytes + d * b * 2)  # read stream once + write result
     print(f"g [H*d={h*d}, B={b}] bf16 = {g.nbytes / 2**30:.2f} GiB; "
           f"minimal traffic {bytes_min / 2**30:.2f} GiB")
-    for name, fn in [("flat", flat), ("per_head", per_head),
-                     ("per_head_stacked", per_head_stacked)]:
+    base = [] if args.skip_base else [
+        ("flat", flat), ("per_head", per_head),
+        ("per_head_stacked", per_head_stacked)]
+    for name, fn in base:
         f = jax.jit(functools.partial(fn, h=h, d=d))
         t = _time_fn(f, g, inv, iters=args.iters)
         print(f"  {name:18s}: {t * 1e3:7.3f} ms  "
               f"({bytes_min / t / 2**30:7.1f} GiB/s effective)")
+    for blk in args.blocks:
+        if d % blk:
+            continue
+        binv = jnp.asarray(
+            np.stack([rng.permutation(d // blk) for _ in range(h)])
+            .astype(np.int32))
+        f = jax.jit(functools.partial(blocked, h=h, d=d, blk=blk))
+        t = _time_fn(f, g, binv, iters=args.iters)
+        print(f"  blocked blk={blk:<5d} : {t * 1e3:7.3f} ms  "
+              f"({bytes_min / t / 2**30:7.1f} GiB/s effective)")
+        # the Pallas block-DMA kernel: every fetched row is wanted (no
+        # (8,128)-tile amplification) — the mix_block variant's backward
+        from spectre_tpu.ops.pallas.bwd_gather import (
+            block_gather_sum_pallas, block_gather_sum_reference)
+
+        fp = jax.jit(functools.partial(block_gather_sum_pallas, blk=blk))
+        ref = np.asarray(block_gather_sum_reference(g, binv, blk),
+                         dtype=np.float32)
+        got = np.asarray(fp(g, binv), dtype=np.float32)
+        err = np.max(np.abs(got - ref))
+        t = _time_fn(fp, g, binv, iters=args.iters)
+        print(f"  blocked-pallas blk={blk:<5d}: {t * 1e3:7.3f} ms  "
+              f"({bytes_min / t / 2**30:7.1f} GiB/s effective, "
+              f"max|diff| {err:.3g})")
     if args.pallas:
         from spectre_tpu.ops.pallas.bwd_gather import (
             inverse_gather_sum_pallas, inverse_gather_sum_reference)

@@ -91,7 +91,8 @@ def run_torch(seed: int, data, batch: int, epochs: int) -> float:
 
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
-                    compute_dtype: str = "float32") -> float:
+                    compute_dtype: str = "float32",
+                    mix_block: int = 0) -> float:
     import jax.numpy as jnp
 
     from spectre_tpu.models import SpectreViT
@@ -100,7 +101,7 @@ def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
     (xtr, ytr), (xva, yva) = data
     dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather",
-                       dtype=dt)
+                       mix_block=mix_block, dtype=dt)
     steps_per_epoch = len(xtr) // batch
     cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
                           adam_weight_decay=WD, epochs=epochs)
@@ -122,22 +123,41 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--mix-block", type=int, default=0,
+                   help="instead of torch-vs-jax, A/B the UNIFORM mix "
+                        "permutation against the BLOCK-structured one "
+                        "(ops/permute.py::make_block_mix_tables) at this "
+                        "block size — the convergence-parity check the "
+                        "mix_block config knob rests on. Note: MODEL_KW's "
+                        "token_dim is 17, so blk must divide d = 17*32.")
     args = p.parse_args(argv)
 
-    accs = {"torch_reference": [], "spectre_tpu": []}
-    for seed in range(args.seeds):
-        data = make_dataset(seed)
-        a = run_torch(seed, data, args.batch, args.epochs)
-        b = run_spectre_tpu(seed, data, args.batch, args.epochs)
-        accs["torch_reference"].append(a)
-        accs["spectre_tpu"].append(b)
-        print(json.dumps({"seed": seed, "torch_reference": a, "spectre_tpu": b}),
-              flush=True)
+    if args.mix_block:
+        accs = {"uniform": [], f"block{args.mix_block}": []}
+        for seed in range(args.seeds):
+            data = make_dataset(seed)
+            a = run_spectre_tpu(seed, data, args.batch, args.epochs)
+            b = run_spectre_tpu(seed, data, args.batch, args.epochs,
+                                mix_block=args.mix_block)
+            for k, v in zip(accs, (a, b)):
+                accs[k].append(v)
+            print(json.dumps({"seed": seed, "uniform": a,
+                              f"block{args.mix_block}": b}), flush=True)
+    else:
+        accs = {"torch_reference": [], "spectre_tpu": []}
+        for seed in range(args.seeds):
+            data = make_dataset(seed)
+            a = run_torch(seed, data, args.batch, args.epochs)
+            b = run_spectre_tpu(seed, data, args.batch, args.epochs)
+            accs["torch_reference"].append(a)
+            accs["spectre_tpu"].append(b)
+            print(json.dumps({"seed": seed, "torch_reference": a,
+                              "spectre_tpu": b}), flush=True)
 
+    ka, kb = list(accs)
     summary = {k: {"mean": round(float(np.mean(v)), 4),
                    "std": round(float(np.std(v)), 4)} for k, v in accs.items()}
-    summary["abs_mean_diff"] = round(abs(np.mean(accs["torch_reference"])
-                                         - np.mean(accs["spectre_tpu"])), 4)
+    summary["abs_mean_diff"] = round(abs(np.mean(accs[ka]) - np.mean(accs[kb])), 4)
     print(json.dumps(summary))
 
 

@@ -291,6 +291,13 @@ def distill_from_config(
         keys = register_mix_routes(state.variables())
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
+    elif getattr(config, "mix_block", 0):
+        # block-structured student permutations — see train/loop.py
+        from spectre_tpu.ops.fused_mix import register_block_mix_routes
+
+        keys = register_block_mix_routes(state.variables())
+        if is_main and keys:
+            print(f"block mix routes registered: {len(keys)}")
     else:
         # mirror train/loop.py: drop any routes a previous model registered
         # under the same scope paths in this process

@@ -243,6 +243,20 @@ class MHPermutMix(nn.Module):
     use_pallas: bool = False
     fused: bool = True
     token_major: bool = False
+    # mix_block > 0: sample BLOCK-structured permutations (whole mix_block-
+    # element blocks move; signs stay element-wise — ops/permute.py::
+    # make_block_mix_tables). Same buffer format; with
+    # register_block_mix_routes the folded backward runs the full-bandwidth
+    # Pallas block gather instead of 8x-tile-amplified row takes.
+    mix_block: int = 0
+
+    def _make_tables(self, d):
+        if self.mix_block:
+            from spectre_tpu.ops.permute import make_block_mix_tables
+
+            return make_block_mix_tables(self.make_rng("params"),
+                                         self.num_heads, d, self.mix_block)
+        return make_mix_tables(self.make_rng("params"), self.num_heads, d)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -267,7 +281,7 @@ class MHPermutMix(nn.Module):
 
         if impl == "folded":
             def init_tables():
-                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+                return self._make_tables(d)
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value
@@ -286,7 +300,7 @@ class MHPermutMix(nn.Module):
 
         if impl == "gather" and token_major:
             def init_tables():
-                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+                return self._make_tables(d)
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value
@@ -312,7 +326,7 @@ class MHPermutMix(nn.Module):
                                    self.token_dim)
         elif impl == "gather":
             def init_tables():
-                return make_mix_tables(self.make_rng("params"), self.num_heads, d)
+                return self._make_tables(d)
 
             tables = self.variable("buffers", "mix_tables", init_tables)
             perms, signs = tables.value

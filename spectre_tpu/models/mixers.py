@@ -151,6 +151,7 @@ def make_mixer(
     dtype=jnp.float32,
     param_dtype=jnp.float32,
     mix_impl: str = "gather",
+    mix_block: int = 0,
     use_pallas: bool = False,
     name: str = "mix_layer",
 ) -> nn.Module:
@@ -158,7 +159,8 @@ def make_mixer(
     if method == "permut_mix":
         return MHPermutMix(embed_dim=embed_dim, token_dim=seq_length,
                            num_heads=num_heads, out_channels=embed_dim,
-                           impl=mix_impl, use_pallas=use_pallas,
+                           impl=mix_impl, mix_block=mix_block,
+                           use_pallas=use_pallas,
                            dtype=dtype, param_dtype=param_dtype, name=name)
     if method == "fft_bare":
         return FNetMixer(dtype=dtype, name=name)

@@ -57,14 +57,17 @@ def build_model(config: SimpleNamespace):
         param_dtype=param_dtype,
     )
     mix_impl = getattr(config, "mix_impl", "gather")
+    mix_block = int(getattr(config, "mix_block", 0))
     if name == "vit":
         return ViT(use_pallas=use_pallas, **common)
     if name == "spectre_vit":
         return SpectreViT(method=getattr(config, "method", "permut_mix"),
-                          mix_impl=mix_impl, use_pallas=use_pallas, **common)
+                          mix_impl=mix_impl, mix_block=mix_block,
+                          use_pallas=use_pallas, **common)
     if name == "spectre_branch":
         return SpectreBranch(method=getattr(config, "method", "permut_mix"),
-                             mix_impl=mix_impl, use_pallas=use_pallas, **common)
+                             mix_impl=mix_impl, mix_block=mix_block,
+                          use_pallas=use_pallas, **common)
     raise ValueError(f"unknown model {name!r}; expected vit|spectre_vit|spectre_branch")
 
 

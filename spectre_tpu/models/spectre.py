@@ -42,6 +42,7 @@ class SpectreEncoderLayer(nn.Module):
     dropout: float
     method: str = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -57,6 +58,7 @@ class SpectreEncoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             mix_impl=self.mix_impl,
+            mix_block=self.mix_block,
             use_pallas=self.use_pallas,
             name="mix_layer",
         )
@@ -91,6 +93,7 @@ class SpectreEncoder(nn.Module):
     dropout: float
     method: str = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     use_final_norm: bool = False  # reference SpectreViT passes norm=None
     dtype: Dtype = jnp.float32
@@ -108,6 +111,7 @@ class SpectreEncoder(nn.Module):
                 dropout=self.dropout,
                 method=self.method,
                 mix_impl=self.mix_impl,
+                mix_block=self.mix_block,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -131,6 +135,7 @@ class SpectreViT(nn.Module):
     dropout: float = 0.1
     method: str = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -159,6 +164,7 @@ class SpectreViT(nn.Module):
             dropout=self.dropout,
             method=self.method,
             mix_impl=self.mix_impl,
+            mix_block=self.mix_block,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -63,6 +63,7 @@ class SpectreBranchEncoderLayer(nn.Module):
     dropout: float
     method: str | None = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -79,7 +80,7 @@ class SpectreBranchEncoderLayer(nn.Module):
             mixer = make_mixer(self.method, embed_dim=self.d_model,
                                seq_length=self.seq_length, num_heads=self.nhead,
                                dropout=self.dropout, dtype=self.dtype,
-                               mix_impl=self.mix_impl, use_pallas=self.use_pallas,
+                               mix_impl=self.mix_impl, mix_block=self.mix_block, use_pallas=self.use_pallas,
                                param_dtype=self.param_dtype, name="mix_layer")
             mixed = (mixer(x, deterministic=deterministic)
                      if isinstance(mixer, AttentionMixer) else mixer(x))
@@ -158,6 +159,7 @@ class SpectreBranchEncoder(nn.Module):
     in_channels: int = 3
     method: str | None = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -177,7 +179,7 @@ class SpectreBranchEncoder(nn.Module):
                 seq_length=self.seq_length, d_model=self.d_model,
                 nhead=self.nhead, dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout, method=self.method,
-                mix_impl=self.mix_impl, use_pallas=self.use_pallas,
+                mix_impl=self.mix_impl, mix_block=self.mix_block, use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"layer_{i}",
             )(output, deterministic=deterministic)
@@ -202,6 +204,7 @@ class SpectreBranch(nn.Module):
     dropout: float = 0.1
     method: str | None = "permut_mix"
     mix_impl: str = "gather"
+    mix_block: int = 0
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -222,7 +225,7 @@ class SpectreBranch(nn.Module):
             seq_length=num_patches + 1, d_model=self.embed_dim,
             nhead=self.num_heads, dim_feedforward=self.hidden_dim,
             dropout=self.dropout, in_channels=self.in_channels,
-            method=self.method, mix_impl=self.mix_impl,
+            method=self.method, mix_impl=self.mix_impl, mix_block=self.mix_block,
             use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="encoder_blocks")(x, img, deterministic=deterministic)

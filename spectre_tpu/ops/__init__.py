@@ -45,6 +45,8 @@ from spectre_tpu.ops.linear import (
 from spectre_tpu.ops.permute import (
     hadamard_matrix,
     invert_permutation,
+    detect_block_size,
+    make_block_mix_tables,
     make_mix_tables,
     make_structured_tables,
     permut_mix,
@@ -62,6 +64,7 @@ __all__ = [
     "adaptive_avg_pool1d", "adaptive_pool_matrix", "gelu_exact", "layer_norm",
     "folded_proj", "perm_rows_t", "permut_mix_fused", "permut_mix_fused_t",
     "spectre_linear_apply",
-    "invert_permutation", "make_mix_tables", "permut_mix",
+    "invert_permutation", "make_mix_tables", "make_block_mix_tables",
+    "detect_block_size", "permut_mix",
     "hadamard_matrix", "make_structured_tables", "pick_tile", "structured_mix",
 ]

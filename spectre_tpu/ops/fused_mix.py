@@ -267,6 +267,46 @@ def clear_mix_routes() -> None:
     _MIX_ROUTES.clear()
 
 
+def register_block_mix_routes(variables, min_blk: int = 8) -> list[str]:
+    """Walk ``variables['buffers']`` for mix permutation tables that are
+    BLOCK-structured (make_block_mix_tables — rows move in whole blk-row
+    blocks, blk >= min_blk) and register a block-DMA backward route for
+    each: the custom-VJP backward then runs the full-bandwidth Pallas block
+    gather (ops/pallas/bwd_gather.py::block_gather_sum_pallas) instead of
+    the 8x-tile-amplified per-head row takes. Uniform permutations are left
+    untouched (detection returns 0). Same re-registration contract as
+    ``register_mix_routes`` (clears first; re-run after restore/import)."""
+    from spectre_tpu.ops.permute import detect_block_size
+
+    clear_mix_routes()
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            if k == "mix_tables" and isinstance(v, (tuple, list)):
+                yield path, v[0]
+            else:
+                yield from walk(v, path + (k,))
+
+    keys = []
+    buffers = variables.get("buffers", variables)
+    for path, perms in walk(dict(buffers), ()):
+        perms = np.asarray(perms)
+        if perms.ndim != 2:
+            continue
+        blk = detect_block_size(perms, min_blk=min_blk)
+        if not blk:
+            continue
+        h, d = perms.shape
+        binv = (np.argsort(perms[:, ::blk] // blk, axis=-1)
+                .astype(np.int32))  # [H, d/blk] block-level inverse perms
+        key = "/".join(path)
+        _MIX_ROUTES[key] = ((jnp.asarray(binv), blk, (h, d)), "block")
+        keys.append(key)
+    return keys
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def perm_rows_t_keyed(xt: jnp.ndarray, perms: jnp.ndarray,
                       route_key: str | None) -> jnp.ndarray:
@@ -290,7 +330,15 @@ def _bwd_rows_keyed(route_key, perms, g):
     ent = _MIX_ROUTES.get(route_key) if route_key is not None else None
     if ent is not None:
         rt, impl = ent
-        if rt.a_idx.shape[:1] + (rt.r * rt.c,) == perms.shape:
+        if impl == "block":
+            binv, blk, shape = rt
+            if shape == perms.shape:
+                from spectre_tpu.ops.pallas.bwd_gather import (
+                    block_gather_sum_pallas)
+
+                dxt = block_gather_sum_pallas(g, binv, blk)
+                return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
+        elif rt.a_idx.shape[:1] + (rt.r * rt.c,) == perms.shape:
             if impl == "pallas":
                 from spectre_tpu.ops.pallas.routed_gather import (
                     routed_gather_sum_pallas)

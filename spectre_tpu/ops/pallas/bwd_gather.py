@@ -152,6 +152,155 @@ def inverse_gather_sum_pallas(
     )(al, g, mask)
 
 
+def _blk_kernel(starts_ref, g_hbm, o_ref, stage, acc, sems, *,
+                heads: int, blk: int, hc: int, full_table: bool):
+    """Output BLOCKS (blk rows) via a flat pipelined loop over
+    (block, head-chunk) steps: each step DMAs ``hc`` aligned [blk, B]
+    source blocks into staging (double-buffered across steps), head-sums
+    them into an f32 accumulator, and stores once per output block. Unlike
+    `_kernel` above, every fetched row is WANTED — a block-structured
+    permutation has no tile read amplification, so the kernel moves the
+    minimal 1x traffic where the row-gather moves 8x.
+
+    ``hc`` bounds staging VMEM (2*hc*blk*B elems) — for large blk the heads
+    are consumed in ceil(H/hc) chunks. ``starts_ref`` is either the
+    per-program [r/blk, H] slice (relative indexing) or — when r/blk breaks
+    Mosaic's 8-sublane block rule but the whole table fits SMEM — the FULL
+    [nb_total, H] table, indexed absolutely (``full_table``)."""
+    nb = o_ref.shape[0] // blk
+    nchunks = (heads + hc - 1) // hc
+    base_blk = pl.program_id(0) * nb if full_table else 0
+    n_steps = nb * nchunks
+
+    def fetch(slot, step):
+        jb = step // nchunks
+        h0 = (step % nchunks) * hc
+        for i in range(hc):
+            h2 = jnp.minimum(h0 + i, heads - 1)  # tail chunk: dup fetch ok
+            src = pl.multiple_of(starts_ref[base_blk + jb, h2], _TILE)
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(src, blk), :],
+                stage.at[slot, pl.ds(i * blk, blk), :],
+                sems.at[slot, i],
+            ).start()
+
+    def wait(slot):
+        for i in range(hc):
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(0, blk), :],
+                stage.at[slot, pl.ds(i * blk, blk), :],
+                sems.at[slot, i],
+            ).wait()
+
+    fetch(0, 0)
+
+    def body(step, _):
+        slot = jax.lax.rem(step, 2)
+        jb = step // nchunks
+        c = step % nchunks
+
+        @pl.when(step + 1 < n_steps)
+        def _():
+            fetch(1 - slot, step + 1)
+
+        wait(slot)
+        h0 = c * hc
+        blks = stage[slot].reshape(hc, blk, -1).astype(jnp.float32)
+        part = blks[0]
+        for i in range(1, hc):
+            live = h0 + i < heads  # mask the tail chunk's duplicate fetches
+            part = part + jnp.where(live, blks[i], 0.0)
+
+        @pl.when(c == 0)
+        def _():
+            acc[...] = part
+
+        @pl.when(c != 0)
+        def _():
+            acc[...] = acc[...] + part
+
+        @pl.when(c == nchunks - 1)
+        def _():
+            off = pl.multiple_of(jb * blk, _GROUP)
+            o_ref[pl.ds(off, blk), :] = acc[...].astype(o_ref.dtype)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, body, 0, unroll=False)
+
+
+def block_gather_sum_pallas(
+    g: jnp.ndarray,
+    binv: jnp.ndarray,
+    blk: int,
+    rows_per_program: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """dxt[jb*blk + t] = sum_h g[h*d + binv[h, jb]*blk + t] — the mix
+    backward for a BLOCK-structured permutation (rows move in whole blk-row
+    blocks; binv [H, d/blk] holds the block-level inverse perms).
+
+    The row-gather kernels above are pinned at ~1/8 of stream bandwidth by
+    the (8,128) HBM tiling (every 2 KB logical row costs an 8-row tile
+    block). When the permutation is block-structured with blk >= 8, the
+    8-row fetch IS the payload: this kernel DMAs [blk, B] source blocks
+    directly and head-sums them, moving minimal traffic. This is the
+    TPU-first `mix_block` variant's backward (models/layers.py) — opt-in,
+    because it narrows the permutation distribution the reference samples
+    uniformly (layers.py:61-65); convergence parity is checked separately.
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    h, nb = binv.shape
+    d = nb * blk
+    b = g.shape[-1]
+    assert blk % _TILE == 0 and g.shape[0] == h * d, (blk, g.shape, h, d)
+    r = min(rows_per_program, d)
+    while d % r or r % blk:
+        r //= 2
+    starts = (binv * blk
+              + (jnp.arange(h, dtype=binv.dtype) * d)[:, None]).T  # [nb, H]
+
+    # Mosaic SMEM blocks need an 8-divisible sublane count; when r/blk < 8
+    # (large blocks) ship the whole (now small) table and index absolutely.
+    full_table = (r // blk) % _TILE != 0
+    table_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if full_table else
+                  pl.BlockSpec((r // blk, h), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM))
+    # head-chunk size: cap double-buffered staging at ~8 MB of VMEM
+    stage_budget = 8 * 2**20
+    hc = max(1, min(h, stage_budget // (2 * blk * b * g.dtype.itemsize)))
+    grid = (d // r,)
+    return pl.pallas_call(
+        functools.partial(_blk_kernel, heads=h, blk=blk, hc=hc,
+                          full_table=full_table),
+        grid=grid,
+        in_specs=[
+            table_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),   # g stays in HBM
+        ],
+        out_specs=pl.BlockSpec((r, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, b), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, hc * blk, b), g.dtype),
+            pltpu.VMEM((blk, b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, hc)),
+        ],
+        interpret=interpret,
+    )(starts, g)
+
+
+def block_gather_sum_reference(g: jnp.ndarray, binv: jnp.ndarray,
+                               blk: int) -> jnp.ndarray:
+    """jnp oracle for the blocked backward (per-head block takes)."""
+    h, nb = binv.shape
+    gh = g.reshape(h, nb, -1)
+    acc = jnp.take(gh[0], binv[0], axis=0, mode="clip")
+    for i in range(1, h):
+        acc = acc + jnp.take(gh[i], binv[i], axis=0, mode="clip")
+    return acc.reshape(nb * blk, -1)
+
+
 def inverse_gather_sum_reference(g: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     """jnp oracle: the per-head chain production ships (fused_mix._bwd_rows)."""
     h, d = inv.shape

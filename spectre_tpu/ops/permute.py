@@ -42,6 +42,57 @@ def make_mix_tables(key: jax.Array, num_heads: int, d: int) -> tuple[jnp.ndarray
     return perms, signs[None]
 
 
+def make_block_mix_tables(
+    key: jax.Array, num_heads: int, d: int, blk: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-structured per-head permutations + per-element +-1 signs.
+
+    Same storage format as ``make_mix_tables`` (perms [H, d] int32, signs
+    [1, H, d]) but the permutation moves whole ``blk``-element blocks:
+    ``perm[h, jb*blk + t] = bperm[h, jb]*blk + t``. TPU rationale: HBM is
+    (8, 128)-tiled, so the mix-backward's random single-row gathers pay an
+    8x tile read amplification (ops/pallas/bwd_gather.py module docstring);
+    with blk >= 8 every fetched tile is wanted and the backward streams at
+    full bandwidth (block_gather_sum_pallas). Signs stay element-wise, so
+    per-element sign randomness is preserved; only the permutation's
+    granularity changes (convergence parity vs uniform is checked in
+    benchmarks/convergence_ab.py --mix-block). Reference context:
+    layers.py:61-65 samples torch.randperm(d) uniformly.
+    """
+    if d % blk:
+        raise ValueError(f"mix_block={blk} must divide d={d}")
+    kp, ks = jax.random.split(key)
+    nb = d // blk
+    bperms = jnp.stack(
+        [jax.random.permutation(k, nb) for k in jax.random.split(kp, num_heads)]
+    ).astype(jnp.int32)
+    perms = (bperms[:, :, None] * blk
+             + jnp.arange(blk, dtype=jnp.int32)).reshape(num_heads, d)
+    signs = jax.random.randint(ks, (num_heads, d), 0, 2).astype(jnp.float32) * 2 - 1
+    return perms, signs[None]
+
+
+def detect_block_size(perms, min_blk: int = 8) -> int:
+    """Largest power-of-two blk >= min_blk such that every head's perm is
+    block-structured (``perm[h, jb*blk+t] = base[h, jb] + t`` with
+    blk-aligned bases), else 0. Host-side (concrete arrays only)."""
+    import numpy as np
+
+    perms = np.asarray(perms)
+    h, d = perms.shape
+    blk = 1
+    while d % (blk * 2) == 0:
+        blk *= 2
+    while blk >= min_blk:
+        if d % blk == 0:
+            p = perms.reshape(h, d // blk, blk)
+            if ((p[..., 0] % blk == 0).all()
+                    and (p == p[..., :1] + np.arange(blk)).all()):
+                return blk
+        blk //= 2
+    return 0
+
+
 def permut_mix(
     x: jnp.ndarray, perms: jnp.ndarray, signs: jnp.ndarray, token_dim: int
 ) -> jnp.ndarray:

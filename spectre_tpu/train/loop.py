@@ -226,6 +226,14 @@ def train_from_config(
         keys = register_mix_routes(state.variables())
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
+    elif getattr(config, "mix_block", 0):
+        # block-structured permutations (config mix_block >= 8): register
+        # the full-bandwidth Pallas block-DMA backward for the LIVE buffers
+        from spectre_tpu.ops.fused_mix import register_block_mix_routes
+
+        keys = register_block_mix_routes(state.variables())
+        if is_main and keys:
+            print(f"block mix routes registered: {len(keys)}")
     else:
         # a previous model in this process may have registered routes under
         # the same scope paths; never let them leak into this run's backward

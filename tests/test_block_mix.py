@@ -1,0 +1,181 @@
+"""Block-structured mix permutations (config ``mix_block``) + their backward.
+
+TPU rationale (ops/pallas/bwd_gather.py module docstring): HBM is
+(8, 128)-tiled, so the uniform permutation's backward row-gather pays an 8x
+tile read amplification. ``make_block_mix_tables`` samples permutations that
+move whole blk-row blocks (signs stay element-wise), and
+``block_gather_sum_pallas`` DMAs those aligned blocks directly — minimal
+traffic. Reference context: /root/reference/spectre_vit/models/spectre/
+layers.py:61-65 samples torch.randperm(d) uniformly; the block variant is an
+opt-in TPU-first distribution change (convergence A/B checked separately).
+
+These tests pin: table structure + detection, kernel parity vs the jnp
+oracle (both SMEM table layouts, head chunking), route registration walking
+real model variables, and end-to-end gradient equivalence of the routed
+Pallas backward vs the default XLA backward through MHPermutMix/SpectreViT.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectre_tpu.models.layers import MHPermutMix
+from spectre_tpu.ops import (
+    detect_block_size,
+    make_block_mix_tables,
+    make_mix_tables,
+)
+from spectre_tpu.ops.fused_mix import (
+    clear_mix_routes,
+    register_block_mix_routes,
+)
+from spectre_tpu.ops.pallas.bwd_gather import (
+    block_gather_sum_pallas,
+    block_gather_sum_reference,
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean_routes():
+    clear_mix_routes()
+    yield
+    clear_mix_routes()
+
+
+@pytest.mark.parametrize("h,d,blk", [(4, 64, 8), (3, 96, 16), (2, 128, 128)])
+def test_block_tables_structure_and_detection(h, d, blk):
+    perms, signs = make_block_mix_tables(jax.random.key(0), h, d, blk)
+    assert perms.shape == (h, d) and signs.shape == (1, h, d)
+    p = np.asarray(perms)
+    # each head is a real permutation of range(d)
+    for row in p:
+        np.testing.assert_array_equal(np.sort(row), np.arange(d))
+    # block structure: perm[jb*blk + t] = base + t with blk-aligned base
+    pb = p.reshape(h, d // blk, blk)
+    assert (pb[..., 0] % blk == 0).all()
+    np.testing.assert_array_equal(pb, pb[..., :1] + np.arange(blk))
+    # signs are element-wise +-1 (not block-constant for blk > 1 w.h.p.)
+    s = np.asarray(signs)[0]
+    assert set(np.unique(s)) <= {-1.0, 1.0}
+    if blk >= 8:
+        sb = s.reshape(h, d // blk, blk)
+        assert not (sb == sb[..., :1]).all(), "signs degenerated to per-block"
+    # detection returns the sampled block size (largest valid power of two)
+    assert detect_block_size(p) == max(blk, 8) if blk >= 8 else True
+
+
+def test_detect_block_size_rejects_uniform_and_finds_largest():
+    perms, _ = make_mix_tables(jax.random.key(1), 4, 256)
+    assert detect_block_size(np.asarray(perms)) == 0
+    # identity is block-structured at every size -> largest power of two
+    ident = np.tile(np.arange(64, dtype=np.int32), (2, 1))
+    assert detect_block_size(ident) == 64
+    # min_blk respected
+    perms8, _ = make_block_mix_tables(jax.random.key(2), 2, 128, 8)
+    assert detect_block_size(np.asarray(perms8), min_blk=16) == 0
+
+
+@pytest.mark.parametrize(
+    "h,nb,blk,b,rpp",
+    [
+        (4, 16, 8, 128, 64),    # blocked SMEM spec (r//blk = 8)
+        (3, 8, 16, 128, 32),    # full-table SMEM spec (r//blk = 2)
+        (16, 4, 256, 128, 512), # head chunking (hc < h at the VMEM budget)
+        (2, 32, 8, 256, 256),   # r == d single program
+    ],
+)
+def test_block_gather_pallas_matches_oracle(h, nb, blk, b, rpp):
+    d = nb * blk
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((h * d, b)).astype(np.float32))
+    binv = jnp.asarray(
+        np.stack([rng.permutation(nb) for _ in range(h)]).astype(np.int32))
+    ref = block_gather_sum_reference(g, binv, blk)
+    got = block_gather_sum_pallas(g, binv, blk, rows_per_program=rpp,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_block_gather_pallas_bf16():
+    h, nb, blk, b = 4, 8, 8, 128
+    d = nb * blk
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.standard_normal((h * d, b))).astype(jnp.bfloat16)
+    binv = jnp.asarray(
+        np.stack([rng.permutation(nb) for _ in range(h)]).astype(np.int32))
+    ref = np.asarray(block_gather_sum_reference(
+        g.astype(jnp.float32), binv, blk))
+    got = np.asarray(block_gather_sum_pallas(g, binv, blk, interpret=True)
+                     .astype(jnp.float32))
+    # kernel accumulates in f32, output rounds to bf16 once
+    np.testing.assert_allclose(got, ref, atol=0.04, rtol=0.04)
+
+
+def _folded_block_module(blk=8, h=4, e=16, n=8):
+    m = MHPermutMix(embed_dim=e, token_dim=n, num_heads=h,
+                    out_channels=e, impl="folded", mix_block=blk)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (16, n, e)).astype(np.float32))  # B >= 8: folded branch stays live
+    v = m.init(jax.random.key(7), x)
+    return m, v, x
+
+
+def test_register_block_routes_walks_model_variables():
+    m, v, x = _folded_block_module()
+    keys = register_block_mix_routes(v)
+    assert len(keys) == 1
+    # uniform tables register nothing
+    mu = MHPermutMix(embed_dim=16, token_dim=8, num_heads=4,
+                     out_channels=16, impl="folded")
+    vu = mu.init(jax.random.key(7), x)
+    assert register_block_mix_routes(vu) == []
+
+
+def test_routed_block_backward_matches_default():
+    """The Pallas block-DMA backward (registered route) must produce the
+    same input/param grads as the default XLA backward — identical math,
+    different engine. Interpret mode on CPU; real-chip parity is asserted
+    by benchmarks/bwd_gather_variants.py --blocks (max|diff| printed)."""
+    m, v, x = _folded_block_module()
+
+    def loss(p, xx):
+        return jnp.sum(m.apply({**v, "params": p}, xx) ** 2)
+
+    gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+    register_block_mix_routes(v)
+    gp_rt, gx_rt = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(gx_rt), np.asarray(gx_ref),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp_rt), jax.tree.leaves(gp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_block_model_end_to_end_and_impl_parity():
+    """SpectreViT(mix_block=8): same checkpoint tree as uniform (buffer
+    format unchanged), folded and gather impls agree on the block tables,
+    and a jitted grad step runs with the block route registered."""
+    from spectre_tpu.models import SpectreViT
+
+    kw = dict(img_size=16, patch_size=4, in_channels=3, num_classes=10,
+              embed_dim=32, num_encoders=2, num_heads=4, hidden_dim=48,
+              dropout=0.0, mix_block=8)
+    x = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 1, (16, 3, 16, 16)).astype(np.float32))
+    m_fold = SpectreViT(mix_impl="folded", **kw)
+    m_gath = SpectreViT(mix_impl="gather", **kw)
+    v = m_fold.init(jax.random.key(3), x)
+    v_uniform = SpectreViT(mix_impl="folded",
+                           **{**kw, "mix_block": 0}).init(jax.random.key(3), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v_uniform)
+    np.testing.assert_allclose(np.asarray(m_gath.apply(v, x)),
+                               np.asarray(m_fold.apply(v, x)),
+                               atol=1e-5, rtol=1e-5)
+    keys = register_block_mix_routes(v)
+    assert len(keys) == 2  # one per encoder layer
+    g = jax.jit(jax.grad(
+        lambda p: jnp.sum(m_fold.apply({**v, "params": p}, x) ** 2)
+    ))(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
