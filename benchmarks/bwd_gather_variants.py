@@ -129,8 +129,12 @@ def main(argv=None):
             block_gather_sum_pallas, block_gather_sum_reference)
 
         fp = jax.jit(functools.partial(block_gather_sum_pallas, blk=blk))
-        ref = np.asarray(block_gather_sum_reference(g, binv, blk),
-                         dtype=np.float32)
+        # oracle in f32: the kernel accumulates heads in f32 and rounds the
+        # OUTPUT once, while a bf16 jnp chain accumulates rounding per add
+        # (measured max|diff| 0.25 at H=16 against a bf16 oracle — that was
+        # oracle error, not kernel error)
+        ref = np.asarray(block_gather_sum_reference(
+            g.astype(jnp.float32), binv, blk), dtype=np.float32)
         got = np.asarray(fp(g, binv), dtype=np.float32)
         err = np.max(np.abs(got - ref))
         t = _time_fn(fp, g, binv, iters=args.iters)

@@ -130,12 +130,25 @@ def main(argv=None):
                         "block size — the convergence-parity check the "
                         "mix_block config knob rests on. Note: MODEL_KW's "
                         "token_dim is 17, so blk must divide d = 17*32.")
+    p.add_argument("--noise", type=float, default=3.5,
+                   help="dataset noise sigma — raise with --embed so the "
+                        "task stays non-saturating (a 99%% ceiling hides "
+                        "any distribution effect)")
+    p.add_argument("--embed", type=int, default=0,
+                   help="override MODEL_KW embed_dim — what matters for "
+                        "block-structured mixing is d/blk (movable units "
+                        "per head), so widening embed probes flagship-like "
+                        "granularity (flagship: d/blk = 33280/64 = 520) at "
+                        "toy cost")
     args = p.parse_args(argv)
+    if args.embed:
+        MODEL_KW["embed_dim"] = args.embed
+        MODEL_KW["hidden_dim"] = args.embed * 3 // 2
 
     if args.mix_block:
         accs = {"uniform": [], f"block{args.mix_block}": []}
         for seed in range(args.seeds):
-            data = make_dataset(seed)
+            data = make_dataset(seed, noise=args.noise)
             a = run_spectre_tpu(seed, data, args.batch, args.epochs)
             b = run_spectre_tpu(seed, data, args.batch, args.epochs,
                                 mix_block=args.mix_block)
@@ -146,7 +159,7 @@ def main(argv=None):
     else:
         accs = {"torch_reference": [], "spectre_tpu": []}
         for seed in range(args.seeds):
-            data = make_dataset(seed)
+            data = make_dataset(seed, noise=args.noise)
             a = run_torch(seed, data, args.batch, args.epochs)
             b = run_spectre_tpu(seed, data, args.batch, args.epochs)
             accs["torch_reference"].append(a)

@@ -254,9 +254,12 @@ def block_gather_sum_pallas(
     d = nb * blk
     b = g.shape[-1]
     assert blk % _TILE == 0 and g.shape[0] == h * d, (blk, g.shape, h, d)
-    r = min(rows_per_program, d)
-    while d % r or r % blk:
-        r //= 2
+    # rows/program: the largest whole-block divisor of d under the cap —
+    # halving can dead-end for non-power-of-two blk (e.g. d=480, blk=24)
+    nb_total = d // blk
+    r = blk * max([m for m in range(1, nb_total + 1)
+                   if nb_total % m == 0 and m * blk <= rows_per_program],
+                  default=1)  # blk > cap: one block per program
     starts = (binv * blk
               + (jnp.arange(h, dtype=binv.dtype) * d)[:, None]).T  # [nb, H]
 

@@ -61,6 +61,11 @@ def make_block_mix_tables(
     """
     if d % blk:
         raise ValueError(f"mix_block={blk} must divide d={d}")
+    if blk & (blk - 1):
+        # detect_block_size (route registration) probes power-of-two sizes
+        # only; a non-pow2 block table would silently never get the fast
+        # backward — reject it up front
+        raise ValueError(f"mix_block={blk} must be a power of two")
     kp, ks = jax.random.split(key)
     nb = d // blk
     bperms = jnp.stack(
