@@ -99,6 +99,20 @@ def main():
     mesh = create_mesh()
     state = jax.device_put(state, replicated_sharding(mesh))
 
+    # mirror the train loop's route registration (train/loop.py): with the
+    # flagship config's block-structured tables (mix_block=64) the mix
+    # backward runs the Pallas block-DMA gather; without registration it
+    # would silently fall back to the per-head takes and measure those
+    if getattr(cfg, "mix_block", 0):
+        from spectre_tpu.ops.fused_mix import register_block_mix_routes
+
+        keys = register_block_mix_routes(state.variables())
+        assert keys, "mix_block set but no block routes registered"
+    else:
+        from spectre_tpu.ops.fused_mix import clear_mix_routes
+
+        clear_mix_routes()
+
     rng = np.random.default_rng(0)
     sharded = shard_batch(mesh, {
         "image": rng.uniform(0, 1, x_init.shape).astype(np.float32),

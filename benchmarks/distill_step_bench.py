@@ -41,6 +41,14 @@ def main():
         dtype=resolve_dtype(getattr(cfg, "compute_dtype", "float32")))
     tx = make_optimizer(cfg, 195)
     state = create_train_state(student, tx, example_input(cfg, batch), seed=0)
+    # mirror the distill loop's route registration (distill/loop.py): the
+    # config's block-structured tables (mix_block, inherited from the
+    # flagship base) run the Pallas block-DMA backward only when registered
+    if getattr(cfg, "mix_block", 0):
+        from spectre_tpu.ops.fused_mix import register_block_mix_routes
+
+        keys = register_block_mix_routes(state.variables())
+        print(f"block mix routes registered: {len(keys)}")
     augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
     step_fn = make_distill_step(student, temperature=2.0, kd_weight=0.25,
                                 ce_weight=0.75)

@@ -26,3 +26,16 @@ embed_dim = 512
 num_patches = (img_size // patch_size) ** 2  # 64
 use_spectre = True
 spectre_threshold = 1.0
+
+# TPU-first permutation distribution (round 3): sample the mix permutations
+# block-structured (whole 64-row blocks move; signs stay element-wise) so the
+# backward runs the full-bandwidth Pallas block-DMA gather instead of the
+# 8x-tile-amplified row takes that are the measured floor for UNIFORM tables
+# (BASELINE.md "settled by experiment"). Measured on v5e, B=1024: 162.2 ->
+# 131.5 ms/step (6,314 -> 7,786 img/s/chip, MFU 34.8%). Convergence parity
+# holds when d/blk >> 1 movable units per head (here 33280/64 = 520; A/B in
+# benchmarks/convergence_ab.py --mix-block, BASELINE.md "round-3 addendum").
+# The reference samples uniform tables (layers.py:61-65) — set mix_block = 0
+# to reproduce that distribution exactly; all parity/oracle tests transfer
+# the reference's own tables and are unaffected by the sampling default.
+mix_block = 64

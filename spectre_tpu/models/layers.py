@@ -251,11 +251,23 @@ class MHPermutMix(nn.Module):
     mix_block: int = 0
 
     def _make_tables(self, d):
-        if self.mix_block:
-            from spectre_tpu.ops.permute import make_block_mix_tables
+        blk = self.mix_block
+        if blk:
+            if d % blk == 0 and blk & (blk - 1) == 0:
+                from spectre_tpu.ops.permute import make_block_mix_tables
 
-            return make_block_mix_tables(self.make_rng("params"),
-                                         self.num_heads, d, self.mix_block)
+                return make_block_mix_tables(self.make_rng("params"),
+                                             self.num_heads, d, blk)
+            # configs carry mix_block as a sampling default tuned for the
+            # flagship d; shrunken geometries (tests, studies, dry runs) fall
+            # back to the reference's uniform distribution — LOUDLY, so a
+            # benchmark never silently measures the wrong backward
+            import warnings
+
+            warnings.warn(
+                f"mix_block={blk} does not divide d={d} (or is not a power "
+                "of two); sampling UNIFORM permutation tables instead — the "
+                "block-DMA backward will not apply", stacklevel=2)
         return make_mix_tables(self.make_rng("params"), self.num_heads, d)
 
     @nn.compact

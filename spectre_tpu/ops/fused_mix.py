@@ -153,10 +153,16 @@ def _fwd_folded_proj(g4, w, s4):
 
 def _bwd_folded_proj(res, dy):
     g4, w, s4 = res
-    n, e, b = g4.shape
     dg4 = s4[:, :, None] * jnp.einsum("nbo,eo->neb", dy, w)
-    sg = (s4[:, :, None] * g4).transpose(1, 0, 2).reshape(e, n * b)
-    dw = sg @ dy.reshape(n * b, -1)
+    # dW contracting {n, b} directly via dot_general — XLA schedules the
+    # [n,e,b] operand into the GEMM without the explicit [e, n*b] relayout
+    # (a real 1.02 GiB copy at flagship shape). Measured raw-window on v5e
+    # (benchmarks/folded_bwd_dw_bench.py): transpose+GEMM 4.03 ms,
+    # dot_general 3.47 ms, batched-per-token + sum 3.49 ms.
+    sg = s4[:, :, None] * g4
+    dw = jax.lax.dot_general(
+        sg, dy, (((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
     return dg4, dw, jnp.zeros_like(s4)
 
 
