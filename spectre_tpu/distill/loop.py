@@ -288,14 +288,17 @@ def distill_from_config(
         # Clos-routed mix backward for the student (mirrors train/loop.py)
         from spectre_tpu.ops.fused_mix import register_mix_routes
 
-        keys = register_mix_routes(state.variables())
+        keys = register_mix_routes(
+            state.variables(),
+            impl=getattr(config, "mix_routed_impl", "mxu"))
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
     elif getattr(config, "mix_block", 0):
         # block-structured student permutations — see train/loop.py
+        # (mesh-aware: shard_maps the block kernel on multi-device meshes)
         from spectre_tpu.ops.fused_mix import register_block_mix_routes
 
-        keys = register_block_mix_routes(state.variables())
+        keys = register_block_mix_routes(state.variables(), mesh=mesh)
         if is_main and keys:
             print(f"block mix routes registered: {len(keys)}")
     else:
@@ -390,6 +393,12 @@ def distill_from_config(
                 writer.scalar("Batch Loss/CE", m["loss_ce"], step_no)
             pending = []
 
+        if preempted["flag"]:
+            # skip the epoch tail (full val pass): the SIGTERM grace window
+            # must go to the preemption checkpoint save below, not an eval
+            # sweep that can be SIGKILLed before any save happens
+            break
+
         # per-epoch student validation: sums accumulate ON DEVICE, one D2H
         # (reuses the train loop's eval machinery, train/loop.py:260-274)
         dev_sums = None
@@ -399,6 +408,20 @@ def distill_from_config(
             images = eval_transform(vbatch["image"])
             out = eval_step(state.params, state.buffers, images,
                             vbatch["label"], vbatch["mask"])
+            if pcount > 1:
+                # eval_step launches are mutually INDEPENDENT (each reads
+                # only params + its batch), so the async runtime may overlap
+                # several in-flight executions — and each contains a
+                # cross-process collective (the global accuracy/loss
+                # reduce). Overlapped launches of the same program can pair
+                # process A's eval#i with process B's eval#j at the
+                # collective rendezvous and deadlock (observed: both
+                # processes hung dispatching the NEXT op with CPU time
+                # frozen, tests/test_multihost.py distill smoke). Serialize
+                # execution across processes; one sync per val batch, once
+                # per epoch. Single-process runs keep the async pipeline
+                # (per-device programs execute in order there).
+                out = jax.block_until_ready(out)
             dev_sums = out if dev_sums is None else jax.tree.map(
                 jnp.add, dev_sums, out)
         if dev_sums is not None:

@@ -221,7 +221,24 @@ perm_rows_t.defvjp(_fwd_rows, _bwd_rows)
 _MIX_ROUTES: dict[str, tuple] = {}
 
 
-def register_mix_routes(variables, impl: str = "pallas") -> list[str]:
+def _walk_mix_tables(variables):
+    """Yield ``(scope_path_tuple, perms)`` for every ``mix_tables`` buffer in
+    a flax variable tree (the registration walk shared by both registries)."""
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            if k == "mix_tables" and isinstance(v, (tuple, list)):
+                yield path, v[0]
+            else:
+                yield from walk(v, path + (k,))
+
+    buffers = variables.get("buffers", variables)
+    yield from walk(dict(buffers), ())
+
+
+def register_mix_routes(variables, impl: str = "mxu") -> list[str]:
     """Walk ``variables['buffers']`` for mix permutation tables, factor each
     into its 3-stage route (disk-cached), and register under the owning
     module's scope path. Returns the registered keys.
@@ -235,25 +252,19 @@ def register_mix_routes(variables, impl: str = "pallas") -> list[str]:
     loops whose config leaves ``mix_routed`` off call ``clear_mix_routes()``
     instead, so a prior model's routes never leak into the next.
 
-    ``impl``: "pallas" (fused kernel, ops/pallas/routed_gather.py),
-    "mxu" (XLA einsums over resident one-hot masks), or "takes".
+    ``impl``: "mxu" (XLA einsums over resident one-hot masks — the default:
+    it compiles at every measured scale), "pallas" (fused kernel,
+    ops/pallas/routed_gather.py — blocked by a Mosaic batch-dim-unroll
+    compiler cliff at the flagship factorization, benchmarks/
+    routed_kernel_diag.py; only safe at shapes that diagnostic clears),
+    or "takes" (chained XLA takes, measurement baseline).
     """
     from spectre_tpu.ops.routing import build_route_tables_cached, pick_factor
 
     clear_mix_routes()
 
-    def walk(tree, path):
-        if not isinstance(tree, dict):
-            return
-        for k, v in tree.items():
-            if k == "mix_tables" and isinstance(v, (tuple, list)):
-                yield path, v[0]
-            else:
-                yield from walk(v, path + (k,))
-
     keys = []
-    buffers = variables.get("buffers", variables)
-    for path, perms in walk(dict(buffers), ()):
+    for path, perms in _walk_mix_tables(variables):
         perms = np.asarray(perms)
         if perms.ndim != 2 or not pick_factor(perms.shape[1]):
             continue
@@ -264,7 +275,8 @@ def register_mix_routes(variables, impl: str = "pallas") -> list[str]:
             continue  # not full permutations (e.g. structured tile tables)
         inv = np.argsort(perms, axis=-1).astype(np.int32)
         key = "/".join(path)
-        _MIX_ROUTES[key] = (build_route_tables_cached(inv), impl)
+        _MIX_ROUTES[key] = (build_route_tables_cached(inv), impl,
+                            jnp.asarray(perms))
         keys.append(key)
     return keys
 
@@ -273,7 +285,8 @@ def clear_mix_routes() -> None:
     _MIX_ROUTES.clear()
 
 
-def register_block_mix_routes(variables, min_blk: int = 8) -> list[str]:
+def register_block_mix_routes(variables, min_blk: int = 8,
+                              mesh=None, batch_axis: str = "data") -> list[str]:
     """Walk ``variables['buffers']`` for mix permutation tables that are
     BLOCK-structured (make_block_mix_tables — rows move in whole blk-row
     blocks, blk >= min_blk) and register a block-DMA backward route for
@@ -281,23 +294,22 @@ def register_block_mix_routes(variables, min_blk: int = 8) -> list[str]:
     gather (ops/pallas/bwd_gather.py::block_gather_sum_pallas) instead of
     the 8x-tile-amplified per-head row takes. Uniform permutations are left
     untouched (detection returns 0). Same re-registration contract as
-    ``register_mix_routes`` (clears first; re-run after restore/import)."""
+    ``register_mix_routes`` (clears first; re-run after restore/import).
+
+    ``mesh``/``batch_axis``: when training over a multi-device mesh, pass
+    them — the Pallas kernel is a single-chip op with no GSPMD partitioning
+    rule, so the backward runs it under ``shard_map`` over the cotangent's
+    batch (minor) axis: each device gathers its own [H*d, B/n] columns,
+    zero collectives (the row permutation never crosses the batch axis).
+    """
     from spectre_tpu.ops.permute import detect_block_size
 
     clear_mix_routes()
-
-    def walk(tree, path):
-        if not isinstance(tree, dict):
-            return
-        for k, v in tree.items():
-            if k == "mix_tables" and isinstance(v, (tuple, list)):
-                yield path, v[0]
-            else:
-                yield from walk(v, path + (k,))
+    if mesh is not None and mesh.size == 1:
+        mesh = None  # single-device mesh: the plain call partitions trivially
 
     keys = []
-    buffers = variables.get("buffers", variables)
-    for path, perms in walk(dict(buffers), ()):
+    for path, perms in _walk_mix_tables(variables):
         perms = np.asarray(perms)
         if perms.ndim != 2:
             continue
@@ -308,7 +320,8 @@ def register_block_mix_routes(variables, min_blk: int = 8) -> list[str]:
         binv = (np.argsort(perms[:, ::blk] // blk, axis=-1)
                 .astype(np.int32))  # [H, d/blk] block-level inverse perms
         key = "/".join(path)
-        _MIX_ROUTES[key] = ((jnp.asarray(binv), blk, (h, d)), "block")
+        _MIX_ROUTES[key] = ((jnp.asarray(binv), blk, (h, d), mesh,
+                             batch_axis), "block", jnp.asarray(perms))
         keys.append(key)
     return keys
 
@@ -334,33 +347,57 @@ def _bwd_rows_keyed(route_key, perms, g):
     # NOTE: ``is not None`` — a TOP-LEVEL mix module has scope path () and
     # therefore route_key "" (falsy), which must still hit the registry
     ent = _MIX_ROUTES.get(route_key) if route_key is not None else None
+    routed = None
     if ent is not None:
-        rt, impl = ent
+        rt, impl, reg_perms = ent
         if impl == "block":
-            binv, blk, shape = rt
+            binv, blk, shape, mesh, batch_axis = rt
             if shape == perms.shape:
                 from spectre_tpu.ops.pallas.bwd_gather import (
                     block_gather_sum_pallas)
 
-                dxt = block_gather_sum_pallas(g, binv, blk)
-                return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
+                if mesh is None:
+                    routed = lambda gg: block_gather_sum_pallas(gg, binv, blk)
+                else:
+                    # multi-device: the kernel has no GSPMD rule — run it
+                    # per-device on the batch (minor-axis) shard; the row
+                    # permutation is batch-independent, so no collectives
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    sm = shard_map(
+                        lambda gg, bi: block_gather_sum_pallas(gg, bi, blk),
+                        mesh=mesh,
+                        in_specs=(P(None, batch_axis), P(None, None)),
+                        out_specs=P(None, batch_axis), check_vma=False)
+                    routed = lambda gg: sm(gg, binv)
         elif rt.a_idx.shape[:1] + (rt.r * rt.c,) == perms.shape:
             if impl == "pallas":
                 from spectre_tpu.ops.pallas.routed_gather import (
                     routed_gather_sum_pallas)
 
-                dxt = routed_gather_sum_pallas(g, rt)
+                routed = lambda gg: routed_gather_sum_pallas(gg, rt)
             elif impl == "mxu":
                 from spectre_tpu.ops.routing import (route_gather_sum_mxu,
                                                      route_onehots)
 
-                dxt = route_gather_sum_mxu(g, *route_onehots(rt, g.dtype))
+                oh = route_onehots(rt, g.dtype)
+                routed = lambda gg: route_gather_sum_mxu(gg, *oh)
             else:
                 from spectre_tpu.ops.routing import route_gather_sum
 
-                dxt = route_gather_sum(g, rt)
-            return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
-    return _bwd_rows(perms, g)
+                routed = lambda gg: route_gather_sum(gg, rt)
+    if routed is None:
+        return _bwd_rows(perms, g)
+    # Routes are host-side data keyed by scope path + shape, which a SECOND
+    # same-geometry model in one process can share without re-registering —
+    # guard the registered table against the LIVE traced buffers so a stale
+    # route degrades to the exact per-head chain instead of silently applying
+    # the wrong inverse permutation. The compare is one [H, d] int pass
+    # (~1 MB at flagship — noise next to the multi-ms gather it guards).
+    dxt = jax.lax.cond(jnp.array_equal(perms, reg_perms), routed,
+                       lambda gg: _bwd_rows(perms, gg)[0], g)
+    return (dxt, np.zeros(perms.shape, dtype=jax.dtypes.float0))
 
 
 perm_rows_t_keyed.defvjp(_fwd_rows_keyed, _bwd_rows_keyed)

@@ -118,8 +118,10 @@ def inverse_gather_sum_pallas(
         # aligned-store/fetch requirement; sub-8 shapes are toy sizes
         return inverse_gather_sum_reference(g, inv)
     r = min(rows_per_program, d)
-    while d % r or r % _GROUP:
+    while r >= _GROUP and (d % r or r % _GROUP):
         r //= 2
+    if r < _GROUP:  # non-pow2 request can halve past every valid size
+        r = _GROUP  # d % _GROUP == 0 is guaranteed by the guard above
     # per-output-row source rows, head-minor: row j, head h2 -> h2*d+inv
     idx = (inv + (jnp.arange(h, dtype=inv.dtype) * d)[:, None]).T  # [d, H]
     al = (idx // _TILE) * _TILE   # aligned DMA starts

@@ -27,6 +27,7 @@ import argparse
 import os
 import subprocess
 import sys
+import time
 
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -92,13 +93,10 @@ def main(argv=None):
             port = srv.listen_tcp(host=args.host or "127.0.0.1",
                                   port=args.port)
             where = f"{args.host or '127.0.0.1'}:{port}"
-        import jax as _jax
 
         print(f"serving {getattr(cfg, 'model', 'spectre_vit')} on {where} "
               f"(backend {_jax.default_backend()}, ctrl-c to stop)")
         try:
-            import time
-
             while True:
                 time.sleep(3600)
         except KeyboardInterrupt:

@@ -39,7 +39,7 @@ import numpy as np
 
 
 def _read_full(sock: socket.socket, n: int) -> bytes | None:
-    buf = b""
+    buf = bytearray()  # amortized-linear append (bytes += is quadratic)
     while len(buf) < n:
         try:
             chunk = sock.recv(n - len(buf))
@@ -48,7 +48,7 @@ def _read_full(sock: socket.socket, n: int) -> bytes | None:
         if not chunk:
             return None
         buf += chunk
-    return buf
+    return bytes(buf)
 
 
 def _send_error(sock: socket.socket, msg: str) -> bool:
@@ -290,6 +290,13 @@ class JaxServer:
                     return
                 if batch == 0 or batch > 1 << 20:
                     _send_error(conn, "bad batch")
+                    return
+                # same 1 GiB memory-hole bound as the bad-dims drain above:
+                # a WELL-FORMED header can still declare a multi-GB payload
+                # (flagship f32 at batch 2^20 is ~12.9 GB) — refuse before
+                # buffering rather than OOM the serving host
+                if dtype().itemsize * batch * img_elems > 1 << 30:
+                    _send_error(conn, "payload too large (1 GiB cap)")
                     return
                 payload = _read_full(
                     conn, dtype().itemsize * batch * img_elems)

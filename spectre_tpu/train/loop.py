@@ -223,15 +223,22 @@ def train_from_config(
         # step's backward uses MXU routing instead of the row gather
         from spectre_tpu.ops.fused_mix import register_mix_routes
 
-        keys = register_mix_routes(state.variables())
+        # impl default "mxu": the fused Pallas route kernel is blocked by a
+        # Mosaic unroll compiler cliff at the flagship factorization
+        # (benchmarks/routed_kernel_diag.py) — opt into it per-shape only
+        keys = register_mix_routes(
+            state.variables(),
+            impl=getattr(config, "mix_routed_impl", "mxu"))
         if is_main and keys:
             print(f"mix routes registered: {len(keys)}")
     elif getattr(config, "mix_block", 0):
         # block-structured permutations (config mix_block >= 8): register
         # the full-bandwidth Pallas block-DMA backward for the LIVE buffers
+        # (mesh-aware: on multi-device meshes the backward shard_maps the
+        # kernel over the batch axis)
         from spectre_tpu.ops.fused_mix import register_block_mix_routes
 
-        keys = register_block_mix_routes(state.variables())
+        keys = register_block_mix_routes(state.variables(), mesh=mesh)
         if is_main and keys:
             print(f"block mix routes registered: {len(keys)}")
     else:
@@ -311,6 +318,13 @@ def train_from_config(
                 done = True
                 break
 
+        if preempted["flag"]:
+            # skip the epoch tail (full val pass + writer sync): a SIGTERM
+            # grace window must go to the checkpoint save below, not to an
+            # eval sweep — otherwise SIGKILL lands mid-eval and the run
+            # loses everything since the last epoch-end checkpoint
+            break
+
         # one host sync per epoch (the reference synced every batch)
         ems = jax.device_get(epoch_metrics)
         tr_loss = float(np.mean([m["loss"] for m in ems]))
@@ -323,6 +337,14 @@ def train_from_config(
             images = eval_transform(batch["image"])
             out = eval_step(state.params, state.buffers, images, batch["label"],
                             batch["mask"])
+            if pcount > 1:
+                # serialize independent eval_step launches across processes:
+                # overlapped in-flight executions of the same program can
+                # mismatch the cross-process reduce's collective rendezvous
+                # (eval#i on one process pairing with eval#j on another) and
+                # deadlock — see the identical guard + incident note in
+                # distill/loop.py. One sync per val batch, per epoch.
+                out = jax.block_until_ready(out)
             dev_sums = out if dev_sums is None else jax.tree.map(
                 jnp.add, dev_sums, out)
         sums = (jax.device_get(dev_sums) if dev_sums is not None

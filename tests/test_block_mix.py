@@ -153,6 +153,62 @@ def test_routed_block_backward_matches_default():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_stale_routes_from_another_model_fall_back_to_exact_chain():
+    """Routes are keyed by scope path + shape, which a SECOND same-geometry
+    model in one process shares. The backward must detect that the live
+    permutation buffers differ from the registered table (content guard,
+    fused_mix._bwd_rows_keyed) and fall back to the exact per-head chain —
+    NOT silently apply model A's inverse permutation to model B's grads."""
+    m, v_a, x = _folded_block_module()
+    # model B: identical geometry/scope paths, different seed -> different
+    # permutation buffers under the SAME registry keys
+    v_b = m.init(jax.random.key(99), x)
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(v_a["buffers"])[0]),
+        np.asarray(jax.tree.leaves(v_b["buffers"])[0]))
+
+    def loss(variables, xx):
+        return jnp.sum(m.apply(variables, xx) ** 2)
+
+    clear_mix_routes()
+    gx_b_ref = jax.grad(loss, argnums=1)(v_b, x)  # no routes: ground truth
+    register_block_mix_routes(v_a)  # model A's routes live in the registry
+    gx_b = jax.jit(jax.grad(loss, argnums=1))(v_b, x)
+    np.testing.assert_allclose(np.asarray(gx_b), np.asarray(gx_b_ref),
+                               atol=1e-5, rtol=1e-5)
+    # and the guard must not break the matching model's own routed backward
+    gx_a_ref = jax.grad(loss, argnums=1)(v_a, x)
+    register_block_mix_routes(v_a)
+    gx_a = jax.jit(jax.grad(loss, argnums=1))(v_a, x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_a_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_block_routes_shard_map_over_mesh():
+    """Multi-device mesh: the Pallas block kernel has no GSPMD partitioning
+    rule, so register_block_mix_routes(mesh=...) makes the backward run it
+    under shard_map over the batch axis — per-device column shards, zero
+    collectives. Asserts the sharded routed grads match the unrouted ones
+    on the 8-device CPU test mesh (kernel in interpret mode)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU test mesh")
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    m, v, x = _folded_block_module()
+
+    def loss(variables, xx):
+        return jnp.sum(m.apply(variables, xx) ** 2)
+
+    clear_mix_routes()
+    gx_ref = jax.grad(loss, argnums=1)(v, x)
+    register_block_mix_routes(v, mesh=mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    gx = jax.jit(jax.grad(loss, argnums=1))(v, xs)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_block_model_end_to_end_and_impl_parity():
     """SpectreViT(mix_block=8): same checkpoint tree as uniform (buffer
     format unchanged), folded and gather impls agree on the block tables,
