@@ -262,3 +262,26 @@ def test_jax_serving_u8_wire_matches_f32(served_jax):
     [t.start() for t in ts]
     [t.join(timeout=60) for t in ts]
     assert not errs, errs
+
+
+def test_jax_serving_refuses_over_1gib_payload():
+    """A WELL-FORMED header can still declare a multi-GB payload (flagship
+    f32 at the 2^20 batch cap is ~12.9 GB); the server must refuse before
+    buffering rather than OOM (serving/jax_server.py payload bound). The
+    header is refused without reading the body, so no payload is sent."""
+    import socket
+    import struct
+
+    def apply_fn(images):  # never reached: the request is refused pre-read
+        raise AssertionError("model must not run for a refused payload")
+
+    with JaxServer(apply_fn, (3, 224, 224), max_batch=8) as srv:
+        port = srv.listen_tcp()
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            # batch=2000 < 2^20 (passes the batch check) but
+            # 2000 * 3*224*224 * 4 B ~= 1.2 GB > the 1 GiB payload bound
+            s.sendall(b"SPQ2" + struct.pack("<IIII", 2000, 3, 224, 224))
+            head = s.recv(4)
+            assert head == b"SPER"
+            (n,) = struct.unpack("<I", s.recv(4))
+            assert b"payload too large" in s.recv(n)

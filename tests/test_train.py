@@ -235,3 +235,46 @@ def test_mid_epoch_resume_skips_trained_prefix(tmp_path):
     r2 = train_from_config(cfg, synthetic=True, resume=True,
                            write_metrics=False)
     assert int(r2.state.step) == 8  # pre-fix: 3 + 8 = 11 (overran schedule)
+
+
+def test_preemption_save_skips_val_sweep(tmp_path, monkeypatch):
+    """On SIGTERM the loop must finish the current step, SKIP the epoch-tail
+    validation sweep, and checkpoint immediately — the grace window belongs
+    to the save, not an eval pass that can be SIGKILLed first (round-3
+    review finding). Observable: preempted in the FIRST epoch means val
+    never ran (last_val_accuracy stays -1), yet a resumable checkpoint
+    exists at the preempted step. The signal is raised from inside the
+    batch generator (after the 2nd batch) so it deterministically lands
+    while the loop's own handler is installed."""
+    import signal
+
+    import spectre_tpu.train.loop as tl
+    from spectre_tpu.train.loop import train_from_config
+
+    real_prefetch = tl.prefetch_to_mesh
+
+    def prefetch_and_preempt(it, mesh, **kw):
+        for i, b in enumerate(real_prefetch(it, mesh, **kw)):
+            yield b
+            if i == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=1, num_classes=10,
+        embed_dim=16, num_encoders=1, num_heads=2, hidden_dim=24,
+        dropout=0.0, batch_size=64, val_batch_size=64,
+        epochs=500,  # cannot finish: the preemption is the only exit
+        learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+        checkpoint_dir=str(tmp_path), keep_checkpoints=2,
+    )
+    monkeypatch.setattr(tl, "prefetch_to_mesh", prefetch_and_preempt)
+    r = train_from_config(cfg, synthetic=True, write_metrics=False)
+    monkeypatch.setattr(tl, "prefetch_to_mesh", real_prefetch)
+    assert int(r.state.step) > 0
+    assert r.last_val_accuracy == -1.0, "val sweep ran after preemption"
+    # the preemption checkpoint is restorable: resume continues from it
+    r2 = train_from_config(cfg, synthetic=True, resume=True,
+                           max_steps=int(r.state.step) + 1,
+                           write_metrics=False)
+    assert int(r2.state.step) == int(r.state.step) + 1
