@@ -195,3 +195,40 @@ def test_train_loop_fsdp_end_to_end_with_resume(tmp_path):
                            write_metrics=False)
     assert int(r2.state.step) == 8
     assert np.isfinite(r2.best_val_accuracy)
+
+
+def test_train_loop_fsdp_with_block_mix_routes(tmp_path):
+    """The multi-chip flagship combination: config.fsdp=True AND
+    config.mix_block — the loop must register the MESH-AWARE block routes
+    (the custom-VJP backward runs the Pallas block gather under shard_map
+    over the batch axis) and the FSDP-pinned step must compile and train
+    through it. Grad parity of the shard_map'd backward is pinned
+    separately (tests/test_block_mix.py); this is the end-to-end path the
+    flagship config (mix_block=64) takes on a multi-chip host."""
+    from types import SimpleNamespace
+
+    from spectre_tpu.ops import fused_mix
+    from spectre_tpu.train.loop import train_from_config
+
+    cfg = SimpleNamespace(
+        model="spectre_vit", method="permut_mix", dataset="mnist",
+        img_size=8, patch_size=4, in_channels=1, num_classes=10,
+        embed_dim=64, num_encoders=2, num_heads=2, hidden_dim=128,
+        dropout=0.0, batch_size=512, val_batch_size=512, epochs=1,
+        learning_rate=1e-3, random_seed=0, compute_dtype="float32",
+        checkpoint_dir=str(tmp_path), keep_checkpoints=2, fsdp=True,
+        fsdp_min_size=1024, mix_block=8,  # d = 64*(4+1) = 320 = 40 blocks
+    )
+    r = train_from_config(cfg, synthetic=True, max_steps=3,
+                          write_metrics=False, checkpoint=False)
+    assert int(r.state.step) == 3
+    assert any("data" in str(p.sharding.spec)
+               for p in jax.tree.leaves(r.state.params)), \
+        "loop ran without FSDP shardings"
+    # the loop registered one mesh-aware block route per encoder layer
+    assert len(fused_mix._MIX_ROUTES) == 2
+    rt, impl, _reg_perms = next(iter(fused_mix._MIX_ROUTES.values()))
+    assert impl == "block"
+    mesh = rt[3]
+    assert mesh is not None and mesh.size == jax.device_count(), \
+        "block routes were registered without the mesh (single-chip kernel)"
