@@ -24,6 +24,7 @@ from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.ops import (
     learnable_hadamard,
     folded_proj,
+    folded_proj_pool,
     make_mix_tables,
     make_structured_tables,
     next_pow2,
@@ -183,7 +184,11 @@ class FoldedMixLinear(nn.Module):
         # folded-weight batched GEMM through the custom-VJP op: autodiff of
         # the naive einsum builds a [N, in, O] cotangent whose schedule
         # search is compile-time-pathological at some batches (B=256: 963 s
-        # for ONE layer backward on v5e) — ops/fused_mix.py::folded_proj
+        # for ONE layer backward on v5e) — ops/fused_mix.py::folded_proj.
+        # (Differentiating the pool TOGETHER with the projection so its
+        # cotangent broadcast rides the GEMM epilogue — folded_proj_pool —
+        # was tried and MEASURED SLOWER: 131.6 vs 130.5 ms flagship step;
+        # XLA's default schedule already fuses the separate add well.)
         y = folded_proj(g4, w.astype(dt), s4) + b.astype(dt)
         if in_features % o == 0:
             grp = in_features // o

@@ -33,7 +33,7 @@ from spectre_tpu.ops.hadamard import (
     learnable_hadamard,
     next_pow2,
 )
-from spectre_tpu.ops.fused_mix import (folded_proj, perm_rows_t, permut_mix_fused,
+from spectre_tpu.ops.fused_mix import (folded_proj, folded_proj_pool, perm_rows_t, permut_mix_fused,
                                         permut_mix_fused_t)
 from spectre_tpu.ops.linear import (
     adaptive_avg_pool1d,
@@ -62,7 +62,7 @@ __all__ = [
     "patch_rfft2_real", "rfft2_real_matrix", "rfft_real", "spectral_patch_matrix",
     "fwht", "fwht_interleaved", "hadamard_transform", "learnable_hadamard", "next_pow2",
     "adaptive_avg_pool1d", "adaptive_pool_matrix", "gelu_exact", "layer_norm",
-    "folded_proj", "perm_rows_t", "permut_mix_fused", "permut_mix_fused_t",
+    "folded_proj", "folded_proj_pool", "perm_rows_t", "permut_mix_fused", "permut_mix_fused_t",
     "spectre_linear_apply",
     "invert_permutation", "make_mix_tables", "make_block_mix_tables",
     "detect_block_size", "permut_mix",

@@ -169,6 +169,73 @@ def _bwd_folded_proj(res, dy):
 folded_proj.defvjp(_fwd_folded_proj, _bwd_folded_proj)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def folded_proj_pool(g4: jnp.ndarray, w: jnp.ndarray, s4: jnp.ndarray,
+                     grp: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``folded_proj`` + the grouped sign-mean pool residual as ONE op.
+
+    Primals are bit-identical to the separate ``folded_proj`` +
+    ``einsum("nuvb,nuv->nbu")`` pair (models/layers.py::FoldedMixLinear):
+
+        y[n,b,o]  = Σ_e g4[n,e,b] · s4[n,e] · w[e,o]
+        pool[n,b,u] = Σ_v g4[n,(u·grp+v),b] · s4[n,(u·grp+v)] / grp
+
+    The point is the BACKWARD: left to autodiff, the pool term's input
+    cotangent materializes a full [N, in, B] broadcast (~1.09 GB bf16 at
+    flagship, measured 1.8 ms/layer as ``broadcast_multiply_fusion``) and
+    then pays two more [N, in, B] passes adding it into the projection's
+    input cotangent. Differentiated together, the broadcast rides the
+    projection-backward GEMM's output epilogue —
+
+        dg4 = s4 ⊙ (dy @ wᵀ + broadcast_u→(u,v)(dpool)/grp)
+
+    one fused pass over [N, in, B] instead of three. dW is the
+    reassociated single GEMM from ``folded_proj`` (the pool has no
+    weights). Caller guarantees ``g4.shape[1] == w.shape[1] * grp``.
+
+    MEASURED DEAD END at flagship scale (kept for other geometries /
+    future schedules): wiring this into FoldedMixLinear made the v5e
+    flagship step 131.6 ms vs 130.5 with the separate autodiff pool —
+    twice, with matching slope fits. XLA's default schedule already
+    fuses the pool-cotangent broadcast + add efficiently; forcing it
+    into the projection-backward GEMM's consumer chain hurt the GEMM's
+    own schedule more than the saved pass gained. Grad parity with the
+    separate path is pinned by tests/test_folded_mix.py::
+    test_folded_proj_pool_combined_vjp_matches_autodiff.
+    """
+    y = jnp.einsum("neb,neo->nbo", g4, s4[:, :, None] * w[None])
+    n, e, b = g4.shape
+    o = e // grp
+    pool = jnp.einsum("nuvb,nuv->nbu", g4.reshape(n, o, grp, b),
+                      s4.reshape(n, o, grp) / grp)
+    return y, pool
+
+
+def _fwd_folded_proj_pool(g4, w, s4, grp):
+    return folded_proj_pool(g4, w, s4, grp), (g4, w, s4)
+
+
+def _bwd_folded_proj_pool(grp, res, cts):
+    g4, w, s4 = res
+    dy, dpool = cts
+    n, e, b = g4.shape
+    o = e // grp
+    # the pool cotangent broadcast fuses into the GEMM-output add + sign
+    # multiply: one [n, e, b] pass (no standalone broadcast_multiply_fusion)
+    dpb = jnp.broadcast_to(
+        (dpool.transpose(0, 2, 1) / grp)[:, :, None, :],
+        (n, o, grp, b)).reshape(n, e, b)
+    dg4 = s4[:, :, None] * (jnp.einsum("nbo,eo->neb", dy, w) + dpb)
+    sg = s4[:, :, None] * g4
+    dw = jax.lax.dot_general(
+        sg, dy, (((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    return dg4, dw, jnp.zeros_like(s4)
+
+
+folded_proj_pool.defvjp(_fwd_folded_proj_pool, _bwd_folded_proj_pool)
+
+
 @jax.custom_vjp
 def perm_rows_t(xt: jnp.ndarray, perms: jnp.ndarray) -> jnp.ndarray:
     """Sign-FREE multi-head row permutation, token-major: [d, B] -> [H*d, B].

@@ -122,3 +122,43 @@ def test_folded_full_model_matches_gather():
     np.testing.assert_allclose(np.asarray(m_ref.apply(v, x)),
                                np.asarray(m_fold.apply(v, x)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_folded_proj_pool_combined_vjp_matches_autodiff():
+    """folded_proj_pool (projection + grouped sign-mean pool in ONE custom
+    VJP — a measured flagship dead end kept for other geometries, see its
+    docstring) must match the plain autodiff composition in primals and in
+    every gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectre_tpu.ops import folded_proj_pool
+
+    rng = np.random.default_rng(11)
+    n, e, b, o = 5, 24, 16, 6  # grp = 4
+    grp = e // o
+    g4 = jnp.asarray(rng.standard_normal((n, e, b)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((e, o)).astype(np.float32))
+    s4 = jnp.asarray(rng.choice([-1.0, 1.0], (n, e)).astype(np.float32))
+
+    def ref(g4, w):
+        y = jnp.einsum("neb,neo->nbo", g4, s4[:, :, None] * w[None])
+        pool = jnp.einsum("nuvb,nuv->nbu", g4.reshape(n, o, grp, b),
+                          s4.reshape(n, o, grp) / grp)
+        return y, pool
+
+    def loss(f, g4, w):
+        y, pool = f(g4, w)
+        return jnp.sum(y ** 2) + jnp.sum(jnp.sin(pool))
+
+    fused = lambda g4, w: folded_proj_pool(g4, w, s4, grp)
+    y1, p1 = fused(g4, w)
+    y2, p2 = ref(g4, w)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    got = jax.grad(lambda a, c: loss(fused, a, c), argnums=(0, 1))(g4, w)
+    want = jax.grad(lambda a, c: loss(ref, a, c), argnums=(0, 1))(g4, w)
+    for a, c in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-5)
