@@ -48,3 +48,39 @@ def test_train_loop_model_parallel_smoke(tmp_path):
     result = train_from_config(cfg, max_steps=2, synthetic=True,
                                checkpoint=False, write_metrics=False)
     assert int(result.state.step) == 2
+
+
+def test_compilation_cache_namespaces_cpu_pins(tmp_path, monkeypatch):
+    """The persistent-cache dir must be host-fingerprinted whenever the run
+    is pinned cpu-FIRST by EITHER pinning path (env var or jax.config) —
+    XLA:CPU AOT entries embed machine code for the compile host's exact CPU
+    model, and a VM migration between hosts that differ only in LLVM tuning
+    features (prefer-no-gather et al., derived from model/stepping, not the
+    cpuinfo flags line) has produced SIGILL-class hangs from foreign entries.
+    Accelerator-first lists keep the shared dir (TPU entries are
+    host-independent)."""
+    import jax
+
+    from spectre_tpu.utils.cache import (_cpu_first, _host_cpu_fingerprint,
+                                         enable_compilation_cache)
+
+    assert _cpu_first("cpu")
+    assert _cpu_first("cpu,axon")
+    assert not _cpu_first("axon,cpu")  # accelerator-first: shared dir
+    assert not _cpu_first("")
+    assert not _cpu_first(None)
+
+    fp = _host_cpu_fingerprint()
+    assert len(fp) == 12
+    assert fp == _host_cpu_fingerprint()  # stable within a host
+
+    # The test suite itself pins cpu (conftest sets both paths), so a real
+    # call must land in the fingerprinted subdir of the requested root.
+    monkeypatch.setenv("SPECTRE_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.delenv("SPECTRE_NO_COMPILE_CACHE", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        path = enable_compilation_cache()
+        assert path == str(tmp_path / f"cpu-{fp}")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
