@@ -24,7 +24,6 @@ from spectre_tpu.models.init import torch_bias_init, torch_kernel_init
 from spectre_tpu.ops import (
     learnable_hadamard,
     folded_proj,
-    folded_proj_pool,
     make_mix_tables,
     make_structured_tables,
     next_pow2,

@@ -151,19 +151,26 @@ def _fwd_folded_proj(g4, w, s4):
     return folded_proj(g4, w, s4), (g4, w, s4)
 
 
-def _bwd_folded_proj(res, dy):
-    g4, w, s4 = res
-    dg4 = s4[:, :, None] * jnp.einsum("nbo,eo->neb", dy, w)
+def _folded_dw(sg, dy, w):
     # dW contracting {n, b} directly via dot_general — XLA schedules the
     # [n,e,b] operand into the GEMM without the explicit [e, n*b] relayout
     # (a real 1.02 GiB copy at flagship shape). Measured raw-window on v5e
     # (benchmarks/folded_bwd_dw_bench.py): transpose+GEMM 4.03 ms,
-    # dot_general 3.47 ms, batched-per-token + sum 3.49 ms.
-    sg = s4[:, :, None] * g4
-    dw = jax.lax.dot_general(
+    # dot_general 3.47 ms, batched-per-token + sum 3.49 ms. Shared by both
+    # folded backwards (the pool term has no weights).
+    return jax.lax.dot_general(
         sg, dy, (((0, 2), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32).astype(w.dtype)
-    return dg4, dw, jnp.zeros_like(s4)
+
+
+def _bwd_folded_proj(res, dy):
+    g4, w, s4 = res
+    dg4 = s4[:, :, None] * jnp.einsum("nbo,eo->neb", dy, w)
+    sg = s4[:, :, None] * g4
+    # s4 holds the checkpointed ±1 mix signs — buffers sampled once at init
+    # and never trained (reference layers.py:61-65 semantics) — so its
+    # cotangent is deliberately zero rather than computed.
+    return dg4, _folded_dw(sg, dy, w), jnp.zeros_like(s4)
 
 
 folded_proj.defvjp(_fwd_folded_proj, _bwd_folded_proj)
@@ -200,7 +207,9 @@ def folded_proj_pool(g4: jnp.ndarray, w: jnp.ndarray, s4: jnp.ndarray,
     fuses the pool-cotangent broadcast + add efficiently; forcing it
     into the projection-backward GEMM's consumer chain hurt the GEMM's
     own schedule more than the saved pass gained. Grad parity with the
-    separate path is pinned by tests/test_folded_mix.py::
+    separate path (w.r.t. g4 and w; s4 is a non-differentiable sign
+    buffer here, as in ``folded_proj``) is pinned by
+    tests/test_folded_mix.py::
     test_folded_proj_pool_combined_vjp_matches_autodiff.
     """
     y = jnp.einsum("neb,neo->nbo", g4, s4[:, :, None] * w[None])
@@ -227,10 +236,9 @@ def _bwd_folded_proj_pool(grp, res, cts):
         (n, o, grp, b)).reshape(n, e, b)
     dg4 = s4[:, :, None] * (jnp.einsum("nbo,eo->neb", dy, w) + dpb)
     sg = s4[:, :, None] * g4
-    dw = jax.lax.dot_general(
-        sg, dy, (((0, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w.dtype)
-    return dg4, dw, jnp.zeros_like(s4)
+    # same s4 convention as _bwd_folded_proj: the signs are untrained ±1
+    # buffers, cotangent deliberately zero.
+    return dg4, _folded_dw(sg, dy, w), jnp.zeros_like(s4)
 
 
 folded_proj_pool.defvjp(_fwd_folded_proj_pool, _bwd_folded_proj_pool)

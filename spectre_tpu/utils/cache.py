@@ -70,9 +70,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # jax.config.update("jax_platforms", "cpu") (drivers, the verify smoke).
     # Neither alone is authoritative here: a sitecustomize accelerator
     # bootstrap can pin the CONFIG to an accelerator-first list while the
-    # env var says "cpu" (worker subprocesses), and a driver's config pin
-    # isn't reflected in the env. Check both — readable without
-    # initializing backends; this runs at package import time AND again
+    # env var says "cpu" (worker subprocesses that will re-pin the config
+    # to cpu AFTER this import-time call — multihost_smoke.py:59), and a
+    # driver's config pin isn't reflected in the env. The OR is the right
+    # heuristic for this codebase: env=cpu is only ever set by our own
+    # test/worker launchers that genuinely run on cpu, so the false-positive
+    # case (env=cpu process actually running the accelerator, TPU entries
+    # landing in the per-host dir) does not occur. Both sources are
+    # readable without initializing backends; this runs at package import
+    # time AND again
     # from each repl driver's main (by which point any config pin has been
     # applied, so the later call corrects an import-time miss). Only a
     # cpu-FIRST pin means cpu executables dominate the cache; an

@@ -128,7 +128,9 @@ def test_folded_proj_pool_combined_vjp_matches_autodiff():
     """folded_proj_pool (projection + grouped sign-mean pool in ONE custom
     VJP — a measured flagship dead end kept for other geometries, see its
     docstring) must match the plain autodiff composition in primals and in
-    every gradient."""
+    the g4/w gradients. s4 is a non-differentiable ±1 sign buffer (its
+    cotangent is deliberately zero, same convention as folded_proj) so it
+    is excluded here."""
     import jax
     import jax.numpy as jnp
     import numpy as np

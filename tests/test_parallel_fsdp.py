@@ -219,16 +219,22 @@ def test_train_loop_fsdp_with_block_mix_routes(tmp_path):
         checkpoint_dir=str(tmp_path), keep_checkpoints=2, fsdp=True,
         fsdp_min_size=1024, mix_block=8,  # d = 64*(4+1) = 320 = 40 blocks
     )
-    r = train_from_config(cfg, synthetic=True, max_steps=3,
-                          write_metrics=False, checkpoint=False)
-    assert int(r.state.step) == 3
-    assert any("data" in str(p.sharding.spec)
-               for p in jax.tree.leaves(r.state.params)), \
-        "loop ran without FSDP shardings"
-    # the loop registered one mesh-aware block route per encoder layer
-    assert len(fused_mix._MIX_ROUTES) == 2
-    rt, impl, _reg_perms = next(iter(fused_mix._MIX_ROUTES.values()))
-    assert impl == "block"
-    mesh = rt[3]
-    assert mesh is not None and mesh.size == jax.device_count(), \
-        "block routes were registered without the mesh (single-chip kernel)"
+    # the loop registers routes into the process-global registry; clear on
+    # the way out so later-collected tests never hit this geometry's stale
+    # entries (the registry docstring's silent-wrong-permutation hazard)
+    try:
+        r = train_from_config(cfg, synthetic=True, max_steps=3,
+                              write_metrics=False, checkpoint=False)
+        assert int(r.state.step) == 3
+        assert any("data" in str(p.sharding.spec)
+                   for p in jax.tree.leaves(r.state.params)), \
+            "loop ran without FSDP shardings"
+        # the loop registered one mesh-aware block route per encoder layer
+        assert len(fused_mix._MIX_ROUTES) == 2
+        rt, impl, _reg_perms = next(iter(fused_mix._MIX_ROUTES.values()))
+        assert impl == "block"
+        mesh = rt[3]
+        assert mesh is not None and mesh.size == jax.device_count(), \
+            "block routes were registered without the mesh (single-chip kernel)"
+    finally:
+        fused_mix.clear_mix_routes()

@@ -281,7 +281,16 @@ def test_jax_serving_refuses_over_1gib_payload():
             # batch=2000 < 2^20 (passes the batch check) but
             # 2000 * 3*224*224 * 4 B ~= 1.2 GB > the 1 GiB payload bound
             s.sendall(b"SPQ2" + struct.pack("<IIII", 2000, 3, 224, 224))
-            head = s.recv(4)
-            assert head == b"SPER"
-            (n,) = struct.unpack("<I", s.recv(4))
-            assert b"payload too large" in s.recv(n)
+            # recv may legally return short reads — drain each field fully
+            # (the server has _read_full for the same reason)
+            def recv_all(k):
+                buf = bytearray()
+                while len(buf) < k:
+                    chunk = s.recv(k - len(buf))
+                    assert chunk, "server closed mid-reply"
+                    buf += chunk
+                return bytes(buf)
+
+            assert recv_all(4) == b"SPER"
+            (n,) = struct.unpack("<I", recv_all(4))
+            assert b"payload too large" in recv_all(n)
