@@ -27,7 +27,6 @@ from spectre_tpu.ops import (
     make_mix_tables,
     make_structured_tables,
     next_pow2,
-    perm_rows_t,
     permut_mix,
     permut_mix_fused,
     permut_mix_fused_t,

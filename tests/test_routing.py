@@ -116,7 +116,6 @@ def test_registered_routes_give_bitwise_equal_grads(rng, monkeypatch):
     mix module silently fell back to the gather chain, making this test
     compare the fallback against itself)."""
     import jax
-    import spectre_tpu.ops.fused_mix as fm
     from spectre_tpu.models.layers import MHPermutMix
     from spectre_tpu.ops.fused_mix import (clear_mix_routes,
                                            register_mix_routes)
