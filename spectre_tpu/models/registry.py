@@ -37,8 +37,8 @@ def resolve_dtype(name: str):
 def build_model(config: SimpleNamespace):
     """Instantiate the configured model (linen module, not yet initialized)."""
     name = getattr(config, "model", "spectre_vit")
-    dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
-    param_dtype = _DTYPES[getattr(config, "param_dtype", "float32")]
+    dtype = resolve_dtype(getattr(config, "compute_dtype", "float32"))
+    param_dtype = resolve_dtype(getattr(config, "param_dtype", "float32"))
     # Pallas kernels compile only on TPU backends; on CPU (tests, dry runs)
     # the jnp reference path is the same math and much faster than interpret
     use_pallas = bool(getattr(config, "use_pallas", False)) and \
