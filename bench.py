@@ -106,7 +106,12 @@ def main():
     if getattr(cfg, "mix_block", 0):
         from spectre_tpu.ops.fused_mix import register_block_mix_routes
 
-        keys = register_block_mix_routes(state.variables())
+        # mesh=mesh matters: the batch is sharded over every chip below, and
+        # the Pallas block-gather backward has no GSPMD rule — registration
+        # must match train_from_config's (train/loop.py) so the backward runs
+        # under shard_map per batch shard on multi-chip hosts (degrades to
+        # the plain single-chip call when mesh.size == 1)
+        keys = register_block_mix_routes(state.variables(), mesh=mesh)
         assert keys, "mix_block set but no block routes registered"
     else:
         from spectre_tpu.ops.fused_mix import clear_mix_routes

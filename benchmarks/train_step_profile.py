@@ -21,9 +21,12 @@ from spectre_tpu.train import create_train_state, make_optimizer, make_train_ste
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/v5e_train_step_ops.csv"
-    blk = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
     cfg.batch_size = 1024
+    # default to the CONFIG's mix_block (64 since round 3) so a no-arg run
+    # profiles bench.py's exact program; pass an explicit 0 for the
+    # uniform-distribution variant
+    blk = int(sys.argv[2]) if len(sys.argv) > 2 else int(getattr(cfg, "mix_block", 0))
     cfg.mix_block = blk
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=195)

@@ -137,7 +137,7 @@ def inverse_gather_sum_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((r, h), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # g stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # g stays in HBM
             pl.BlockSpec((r, h * _TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -280,7 +280,7 @@ def block_gather_sum_pallas(
         grid=grid,
         in_specs=[
             table_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),   # g stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # g stays in HBM
         ],
         out_specs=pl.BlockSpec((r, b), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
