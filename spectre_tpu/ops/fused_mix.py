@@ -392,13 +392,49 @@ def register_block_mix_routes(variables, min_blk: int = 8,
         if not blk:
             continue
         h, d = perms.shape
-        binv = (np.argsort(perms[:, ::blk] // blk, axis=-1)
-                .astype(np.int32))  # [H, d/blk] block-level inverse perms
+        bsrc = (perms[:, ::blk] // blk).astype(np.int32)  # [H, d/blk] fwd
+        binv = np.argsort(bsrc, axis=-1).astype(np.int32)  # block-level inv
         key = "/".join(path)
-        _MIX_ROUTES[key] = ((jnp.asarray(binv), blk, (h, d), mesh,
-                             batch_axis), "block", jnp.asarray(perms))
+        _MIX_ROUTES[key] = ((jnp.asarray(binv), jnp.asarray(bsrc), blk,
+                             (h, d), mesh, batch_axis), "block",
+                            jnp.asarray(perms))
         keys.append(key)
     return keys
+
+
+def _rows_fwd_impl(xt, perms, route_key):
+    """The keyed forward: the flat XLA take, or — when a block route is
+    registered (round 4) — the VMEM-resident-source Pallas block copy
+    (ops/pallas/bwd_gather.py::block_scatter_rows_pallas; measured 1.84 vs
+    2.06 ms/layer at flagship shape, benchmarks/fwd_gather_variants.py),
+    guarded by the same live-buffer equality cond as the backward so a
+    stale route degrades to the exact take instead of copying the wrong
+    blocks."""
+    ent = _MIX_ROUTES.get(route_key) if route_key is not None else None
+    if (ent is not None and ent[1] == "block"
+            and ent[0][3] == perms.shape
+            and xt.shape[-1] % 128 == 0):  # lane-aligned batch only
+        binv, bsrc, blk, shape, mesh, batch_axis = ent[0]
+        reg_perms = ent[2]
+        from spectre_tpu.ops.pallas.bwd_gather import block_scatter_rows_pallas
+
+        if mesh is None:
+            routed = lambda xx: block_scatter_rows_pallas(xx, bsrc, blk)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sm = shard_map(
+                lambda xx, bs: block_scatter_rows_pallas(xx, bs, blk),
+                mesh=mesh,
+                in_specs=(P(None, batch_axis), P(None, None)),
+                out_specs=P(None, batch_axis), check_vma=False)
+            routed = lambda xx: sm(xx, bsrc)
+        return jax.lax.cond(
+            jnp.array_equal(perms, reg_perms), routed,
+            lambda xx: jnp.take(xx, perms.reshape(-1), axis=0, mode="clip"),
+            xt)
+    return jnp.take(xt, perms.reshape(-1), axis=0, mode="clip")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -406,16 +442,18 @@ def perm_rows_t_keyed(xt: jnp.ndarray, perms: jnp.ndarray,
                       route_key: str | None) -> jnp.ndarray:
     """``perm_rows_t`` with a static identity for route lookup.
 
-    Forward is identical; the backward uses the registered Clos route for
-    ``route_key`` when present (bitwise-identical result to the per-head
-    chain: per-head pass-through is exact and the head accumulation runs in
-    the same order and dtype), else the per-head gather chain.
+    Both directions consult the registry: the forward runs the block-copy
+    kernel when a block route is registered (bit-exact vs the take — it
+    moves the same rows), the backward the registered Clos/block route
+    (bitwise-identical result to the per-head chain: per-head pass-through
+    is exact and the head accumulation runs in the same order and dtype),
+    else the per-head gather chain.
     """
-    return jnp.take(xt, perms.reshape(-1), axis=0, mode="clip")
+    return _rows_fwd_impl(xt, perms, route_key)
 
 
 def _fwd_rows_keyed(xt, perms, route_key):
-    return perm_rows_t_keyed(xt, perms, route_key), perms
+    return _rows_fwd_impl(xt, perms, route_key), perms
 
 
 def _bwd_rows_keyed(route_key, perms, g):
@@ -426,7 +464,7 @@ def _bwd_rows_keyed(route_key, perms, g):
     if ent is not None:
         rt, impl, reg_perms = ent
         if impl == "block":
-            binv, blk, shape, mesh, batch_axis = rt
+            binv, bsrc, blk, shape, mesh, batch_axis = rt
             if shape == perms.shape:
                 from spectre_tpu.ops.pallas.bwd_gather import (
                     block_gather_sum_pallas)

@@ -294,6 +294,71 @@ def block_gather_sum_pallas(
     )(starts, g)
 
 
+def _fwd_blk_kernel(starts_ref, x_ref, o_ref, *, blk: int, bpp: int):
+    """FORWARD block scatter: ``bpp`` output blocks per program, each a
+    [blk, B] copy out of the VMEM-RESIDENT source. ``x_ref`` maps the whole
+    [d, B] source with a constant index map — the pipeline fetches it into
+    VMEM once (same block every step => no re-DMA), so the source's HBM
+    read happens exactly once (65 MiB at flagship) instead of once per
+    output row; the kernel is then purely write-bound."""
+    pid = pl.program_id(0)
+    for k in range(bpp):
+        s = pl.multiple_of(starts_ref[pid * bpp + k], _TILE)
+        o_ref[pl.ds(k * blk, blk), :] = x_ref[pl.ds(s, blk), :]
+
+
+def block_scatter_rows_pallas(
+    xt: jnp.ndarray,
+    bsrc: jnp.ndarray,
+    blk: int,
+    rows_per_program: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """out[h*d + jb*blk + t] = xt[bsrc[h, jb]*blk + t] — the mix FORWARD for
+    a block-structured permutation ([d, B] -> [H*d, B]; bsrc [H, d/blk]
+    holds the block-level source indices perms[:, ::blk] // blk).
+
+    Matches ``perm_rows_t`` / ``perm_rows_t_keyed``'s primal on block
+    tables. Rationale (measured, benchmarks/fwd_gather_variants.py): XLA's
+    flat row take already runs this forward at ~534 GiB/s effective — the
+    65 MiB source is small enough that its amplified tile re-reads stay off
+    the critical path — so unlike the backward there is no 8x cliff to fix;
+    the win here is keeping the source VMEM-resident so the only HBM
+    traffic is the 1.02 GiB output write stream."""
+    interpret = use_interpret() if interpret is None else interpret
+    h, nb = bsrc.shape
+    d = nb * blk
+    b = xt.shape[-1]
+    assert blk % _TILE == 0 and xt.shape[0] == d, (blk, xt.shape, h, d)
+    # VMEM residency guard: source + double-buffered output block must fit
+    if xt.nbytes > 100 * 2**20:
+        return jnp.take(xt.reshape(nb, blk * b), bsrc.reshape(-1), axis=0,
+                        mode="clip").reshape(h * d, b)
+    nb_total = h * nb
+    bpp = max([m for m in range(1, nb_total + 1)
+               if nb_total % m == 0 and m * blk <= rows_per_program],
+              default=1)
+    r = bpp * blk
+    starts = (bsrc * blk).reshape(-1)  # [h*nb] absolute source row starts
+    return pl.pallas_call(
+        functools.partial(_fwd_blk_kernel, blk=blk, bpp=bpp),
+        grid=(nb_total // bpp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full table, absolute idx
+            pl.BlockSpec((d, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # resident source
+        ],
+        out_specs=pl.BlockSpec((r, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h * d, b), xt.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(xt.nbytes + 4 * r * b
+                                     * xt.dtype.itemsize) + 2**20,
+                                 120 * 2**20)),
+        interpret=interpret,
+    )(starts, xt)
+
+
 def block_gather_sum_reference(g: jnp.ndarray, binv: jnp.ndarray,
                                blk: int) -> jnp.ndarray:
     """jnp oracle for the blocked backward (per-head block takes)."""

@@ -235,3 +235,67 @@ def test_block_model_end_to_end_and_impl_parity():
         lambda p: jnp.sum(m_fold.apply({**v, "params": p}, x) ** 2)
     ))(v["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+# ---------------------------------------------------------------------------
+# round 4: FORWARD block-copy kernel (block_scatter_rows_pallas) + its route
+
+
+@pytest.mark.parametrize("h,nb,blk,b", [
+    (4, 16, 8, 128),    # many blocks per program
+    (3, 8, 16, 128),    # odd head count
+    (2, 4, 64, 256),    # one block per program at the default cap
+])
+def test_block_scatter_pallas_matches_take(h, nb, blk, b):
+    from spectre_tpu.ops.pallas.bwd_gather import block_scatter_rows_pallas
+
+    rng = np.random.default_rng(0)
+    d = nb * blk
+    xt = jnp.asarray(rng.standard_normal((d, b)).astype(np.float32))
+    bsrc = jnp.asarray(np.stack([rng.permutation(nb) for _ in range(h)])
+                       .astype(np.int32))
+    got = block_scatter_rows_pallas(xt, bsrc, blk)
+    ref = jnp.take(xt.reshape(nb, blk * b), bsrc.reshape(-1),
+                   axis=0).reshape(h * d, b)
+    assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_routed_block_forward_matches_take_and_guards_stale():
+    """With a block route registered and a lane-aligned batch (B % 128 == 0),
+    perm_rows_t_keyed's FORWARD runs the Pallas block copy — output must be
+    bit-identical to the unrouted take (it moves the same rows), and a stale
+    route (different live buffers under the same key) must fall back to the
+    exact take via the content guard."""
+    m, v, _ = _folded_block_module()
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (128, 8, 16)).astype(np.float32))  # B=128: forward route engages
+
+    # separate jit wrappers: the route registry is trace-time state the jit
+    # cache cannot see, so one shared jit(m.apply) would silently reuse the
+    # first trace for both registry states
+    clear_mix_routes()
+    y_ref = jax.jit(lambda vv, xx: m.apply(vv, xx))(v, x)
+    register_block_mix_routes(v)
+    y_rt = jax.jit(lambda vv, xx: m.apply(vv, xx))(v, x)
+    assert (np.asarray(y_rt) == np.asarray(y_ref)).all()
+
+    # stale route: model B shares scope/shape but has different tables
+    v_b = m.init(jax.random.key(99), x)
+    clear_mix_routes()
+    y_b_ref = jax.jit(lambda vv, xx: m.apply(vv, xx))(v_b, x)
+    register_block_mix_routes(v)  # A's routes live under B's keys
+    y_b = jax.jit(lambda vv, xx: m.apply(vv, xx))(v_b, x)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_b_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_routed_block_forward_small_batch_uses_take():
+    """B not lane-aligned: the forward route must stay on the plain take
+    (guard in fused_mix._rows_fwd_impl) — semantics unchanged."""
+    m, v, x = _folded_block_module()  # B=16
+    clear_mix_routes()
+    y_ref = m.apply(v, x)
+    register_block_mix_routes(v)
+    y_rt = jax.jit(m.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
