@@ -216,6 +216,14 @@ def main(argv=None):
                    help="cap steps on BOTH sides (smoke mode)")
     p.add_argument("--skip-torch", action="store_true")
     p.add_argument("--skip-tpu", action="store_true")
+    p.add_argument("--no-uniform-leg", action="store_true",
+                   help="skip the second spectre_tpu run with mix_block=0. "
+                        "By default, when the config ships block-structured "
+                        "mix tables (mix_block>0 — a DIFFERENT permutation "
+                        "distribution than the reference samples, "
+                        "layers.py:61-65), the harness trains BOTH "
+                        "distributions so the parity table reports each "
+                        "against the torch baseline")
     p.add_argument("--out", default=None, help="write the JSON report here")
     p.add_argument("--set", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -246,10 +254,33 @@ def main(argv=None):
         result = train_from_config(config, max_steps=args.steps,
                                    synthetic=args.synthetic,
                                    write_metrics=False, checkpoint=False)
+        report["tpu_mix_block"] = int(getattr(config, "mix_block", 0))
         report["tpu_top1"] = round(result.best_val_accuracy, 4)
         report["tpu_img_per_sec_chip"] = round(result.images_per_sec_per_chip, 2)
-        print(f"spectre_tpu: best top-1 {result.best_val_accuracy:.4f} "
+        print(f"spectre_tpu (mix_block={report['tpu_mix_block']}): "
+              f"best top-1 {result.best_val_accuracy:.4f} "
               f"({result.images_per_sec_per_chip:.1f} img/s/chip)")
+
+        # uniform leg: the shipped flagship config samples BLOCK-structured
+        # mix permutations (mix_block=64) — a different distribution than
+        # the reference's torch.randperm (layers.py:61-65). The parity
+        # verdict must be reportable for BOTH, so train the identical
+        # config with mix_block=0 as a second leg (VERDICT r3 #1).
+        if report["tpu_mix_block"] and not args.no_uniform_leg:
+            import copy
+
+            cfg_u = copy.deepcopy(config)
+            cfg_u.mix_block = 0
+            result_u = train_from_config(cfg_u, max_steps=args.steps,
+                                         synthetic=args.synthetic,
+                                         write_metrics=False,
+                                         checkpoint=False)
+            report["tpu_top1_uniform"] = round(result_u.best_val_accuracy, 4)
+            report["tpu_img_per_sec_chip_uniform"] = round(
+                result_u.images_per_sec_per_chip, 2)
+            print(f"spectre_tpu (mix_block=0, uniform): best top-1 "
+                  f"{result_u.best_val_accuracy:.4f} "
+                  f"({result_u.images_per_sec_per_chip:.1f} img/s/chip)")
 
     if "torch_top1" in report and "tpu_top1" in report:
         delta = report["tpu_top1"] - report["torch_top1"]
@@ -261,6 +292,13 @@ def main(argv=None):
         print(f"top-1 delta {delta:+.4f} "
               f"({'WITHIN' if report['within_0.2pct'] else 'OUTSIDE'} 0.2%) | "
               f"throughput ratio {report.get('throughput_ratio', 'n/a')}x")
+        if "tpu_top1_uniform" in report:
+            du = report["tpu_top1_uniform"] - report["torch_top1"]
+            report["top1_delta_uniform"] = round(du, 4)
+            report["within_0.2pct_uniform"] = bool(abs(du) <= 0.002)
+            print(f"top-1 delta (uniform leg) {du:+.4f} "
+                  f"({'WITHIN' if report['within_0.2pct_uniform'] else 'OUTSIDE'}"
+                  f" 0.2%)")
     print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as f:

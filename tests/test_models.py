@@ -135,3 +135,46 @@ def test_spectre_vit_gradients_flow(rng):
     # at least the patch-embed freq weights and the head must receive gradient
     g_freq = grads["embeddings_block"]["freq_weight_h"]
     assert float(jnp.abs(g_freq).sum()) > 0
+
+
+def test_flagship_config_block_tables_real_at_divisible_geometry(rng):
+    """The flagship config ships mix_block=64; at most test geometries 64
+    does not divide d and the model falls back to uniform (loudly). This
+    test pins a scaled geometry where the BLOCK distribution is actually
+    sampled — embed 64 keeps token_dim 65, d = 65*64 = 4160 = 65 blocks —
+    so CI exercises the shipped sampling path, not just the fallback
+    (VERDICT r3 weak-1)."""
+    import warnings
+
+    from spectre_tpu.ops import detect_block_size
+
+    c = parse_config(os.path.join(CFG_DIR, "spectre_vit_cifar100.py"))
+    c.embed_dim = 64
+    c.hidden_dim = 32
+    c.num_encoders = 1
+    c.compute_dtype = "float32"
+    assert int(c.mix_block) == 64  # the shipped default, untouched
+    model = build_model(c)
+    x = example_input(c, batch_size=2)
+    x = x + jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*sampling UNIFORM permutation tables.*")
+        params = model.init(jax.random.key(0), x)
+        logits = model.apply(params, x)
+    assert logits.shape == (2, c.num_classes)
+    assert np.isfinite(np.asarray(logits)).all()
+    perms = [v[0] for path, v in _walk_buffers(params["buffers"])
+             if path and path[-1] == "mix_tables"]
+    assert perms and all(detect_block_size(np.asarray(p)) == 64
+                         for p in perms)
+
+
+def _walk_buffers(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == "mix_tables":
+                yield path + (k,), v
+            else:
+                yield from _walk_buffers(v, path + (k,))
+

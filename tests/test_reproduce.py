@@ -19,15 +19,29 @@ def test_reproduce_smoke(tmp_path):
     from spectre_tpu.repl.reproduce import main
 
     out = str(tmp_path / "report.json")
-    report = main([
-        "--config", "spectre_tpu/configs/spectre_vit_cifar100.py",
-        "--synthetic", "--steps", "2", "--out", out,
-        "--set", "batch_size=16", "val_batch_size=64", "epochs=1",
-        "embed_dim=32", "num_encoders=1", "num_heads=2", "hidden_dim=32",
-        "img_size=16", "patch_size=4", "compute_dtype=float32",
-    ])
+    # mix_block=32 DIVIDES this smoke geometry's d = 17*32 = 544, so the
+    # primary leg genuinely trains block-structured tables (no silent
+    # uniform fallback — asserted below) and the harness's uniform leg
+    # (mix_block=0, VERDICT r3 #1) runs as the second spectre_tpu arm
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*sampling UNIFORM permutation tables.*")
+        report = main([
+            "--config", "spectre_tpu/configs/spectre_vit_cifar100.py",
+            "--synthetic", "--steps", "2", "--out", out,
+            "--set", "batch_size=16", "val_batch_size=64", "epochs=1",
+            "embed_dim=32", "num_encoders=1", "num_heads=2", "hidden_dim=32",
+            "img_size=16", "patch_size=4", "compute_dtype=float32",
+            "mix_block=32",
+        ])
     assert {"torch_top1", "tpu_top1", "top1_delta", "within_0.2pct",
             "torch_img_per_sec", "tpu_img_per_sec_chip"} <= set(report)
+    assert report["tpu_mix_block"] == 32
+    assert {"tpu_top1_uniform", "top1_delta_uniform",
+            "within_0.2pct_uniform"} <= set(report)
     assert 0.0 <= report["torch_top1"] <= 1.0
     assert 0.0 <= report["tpu_top1"] <= 1.0
+    assert 0.0 <= report["tpu_top1_uniform"] <= 1.0
     assert os.path.exists(out)
