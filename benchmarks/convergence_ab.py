@@ -67,7 +67,39 @@ def batch_order(seed: int, n: int, batch: int, epochs: int):
             yield idx[i:i + batch]
 
 
-def run_torch(seed: int, data, batch: int, epochs: int) -> float:
+def _torch_mixer(method: str):
+    """Torch twin of the jax mixer, swapped into the reference encoder layer.
+
+    The reference docstring (spectre.py:30-36) promises fft_bare/dwt_* mixing
+    configurations but hard-wires MHPermutMix (spectre.py:50); the torch side
+    of a non-default-method A/B is therefore "the reference's model with the
+    mixer the docstring intended", built by replacing each layer's
+    ``mix_layer`` — everything else (norms, SpectreLinear FF, residual
+    topology, head) stays the reference's own code.
+    """
+    import torch
+
+    class FNetMix(torch.nn.Module):
+        def forward(self, x):  # Re(fft2) over [N, E] — ops/fft.py semantics
+            return torch.fft.fft2(x).real
+
+    class DWTTokenMix(torch.nn.Module):
+        def forward(self, x):  # Haar along tokens, odd tail passthrough
+            n = x.shape[-2]
+            xm = x.movedim(-2, -1)
+            head, tail = (xm, None) if n % 2 == 0 else (xm[..., :n - 1],
+                                                        xm[..., n - 1:])
+            e, o = head[..., 0::2], head[..., 1::2]
+            s = 2.0 ** -0.5
+            parts = [(e + o) * s] + ([tail] if tail is not None else []) \
+                + [(e - o) * s]
+            return torch.cat(parts, dim=-1).movedim(-1, -2)
+
+    return {"fnet": FNetMix, "dwt_token": DWTTokenMix}[method]()
+
+
+def run_torch(seed: int, data, batch: int, epochs: int,
+              method: str = "permut_mix") -> float:
     sys.path.insert(0, REFERENCE_ROOT)
     import torch
     from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
@@ -75,6 +107,9 @@ def run_torch(seed: int, data, batch: int, epochs: int) -> float:
     (xtr, ytr), (xva, yva) = data
     torch.manual_seed(seed)
     model = RefSpectreViT(**MODEL_KW, activation="gelu")
+    if method != "permut_mix":
+        for layer in model.encoder_blocks.layers:
+            layer.mix_layer = _torch_mixer(method)
     opt = torch.optim.AdamW(model.parameters(), betas=BETAS, lr=LR, weight_decay=WD)
     steps = (len(xtr) // batch) * epochs
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
@@ -96,9 +131,13 @@ def run_torch(seed: int, data, batch: int, epochs: int) -> float:
     return float((pred == yva).mean())
 
 
+JAX_METHOD = {"permut_mix": "permut_mix", "fnet": "fft_bare",
+              "dwt_token": "dwt_token"}
+
+
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
                     compute_dtype: str = "float32",
-                    mix_block: int = 0) -> float:
+                    mix_block: int = 0, method: str = "permut_mix") -> float:
     import jax.numpy as jnp
 
     from spectre_tpu.models import SpectreViT
@@ -106,8 +145,8 @@ def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
 
     (xtr, ytr), (xva, yva) = data
     dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
-    model = SpectreViT(**MODEL_KW, method="permut_mix", mix_impl="gather",
-                       mix_block=mix_block, dtype=dt)
+    model = SpectreViT(**MODEL_KW, method=JAX_METHOD[method],
+                       mix_impl="gather", mix_block=mix_block, dtype=dt)
     steps_per_epoch = len(xtr) // batch
     cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
                           adam_weight_decay=WD, epochs=epochs)
@@ -158,6 +197,12 @@ def main(argv=None):
                         "trains bf16)")
     p.add_argument("--n-train", type=int, default=1024)
     p.add_argument("--n-val", type=int, default=512)
+    p.add_argument("--method", default="permut_mix",
+                   choices=["permut_mix", "fnet", "dwt_token"],
+                   help="mixer for BOTH sides of the torch-vs-jax A/B "
+                        "(VERDICT r3 #6: the fnet_* configs the reference "
+                        "intended to train). Torch side = reference model "
+                        "with mix_layer swapped per the docstring contract")
     args = p.parse_args(argv)
     if args.flagship:
         MODEL_KW.update(FLAGSHIP_KW)
@@ -184,9 +229,10 @@ def main(argv=None):
         for seed in range(args.seeds):
             data = make_dataset(seed, n_train=args.n_train, n_val=args.n_val,
                                 noise=args.noise)
-            a = run_torch(seed, data, args.batch, args.epochs)
+            a = run_torch(seed, data, args.batch, args.epochs,
+                          method=args.method)
             b = run_spectre_tpu(seed, data, args.batch, args.epochs,
-                                compute_dtype=args.dtype)
+                                compute_dtype=args.dtype, method=args.method)
             accs["torch_reference"].append(a)
             accs["spectre_tpu"].append(b)
             print(json.dumps({"seed": seed, "torch_reference": a,
