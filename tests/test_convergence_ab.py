@@ -78,3 +78,25 @@ def test_trainer_from_torch_init_matches_reference_accuracy(data, torch_acc):
 def test_own_init_converges_at_least_as_well(data, torch_acc):
     acc = run_spectre_tpu(SEED, data, BATCH, EPOCHS)
     assert acc >= torch_acc - 0.03, (acc, torch_acc)
+
+
+@pytest.mark.parametrize("method", ["fnet", "dwt_token"])
+def test_torch_mixer_twin_matches_jax_mixer(method):
+    """The --method A/B (VERDICT r3 #6) swaps a torch twin of the jax mixer
+    into the reference encoder layer; this pins that both sides of that A/B
+    apply the SAME operator — twin drift would silently invalidate the
+    trained-accuracy comparison in BASELINE.md."""
+    from benchmarks.convergence_ab import _torch_mixer
+    from spectre_tpu.ops.dwt import haar_dwt_mix
+    from spectre_tpu.ops.fft import fft2_real_matmul
+
+    rng = np.random.default_rng(0)
+    for n_tokens in (16, 17):  # even + odd (odd exercises the DWT tail path)
+        x = rng.standard_normal((2, n_tokens, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = _torch_mixer(method)(torch.from_numpy(x)).numpy()
+        if method == "fnet":
+            ours = np.asarray(fft2_real_matmul(jnp.asarray(x)))
+        else:
+            ours = np.asarray(haar_dwt_mix(jnp.asarray(x), axis=-2))
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-4)
