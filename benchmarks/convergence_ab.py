@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from types import SimpleNamespace
 
@@ -164,6 +165,14 @@ def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS=cpu for the toy-geometry runs: this image's
+    # sitecustomize registers the TPU plugin at interpreter start and its
+    # selection overrides the env var, so (exactly like tests/conftest.py)
+    # the pin must go through jax.config before any backend initializes.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--epochs", type=int, default=6)
