@@ -233,7 +233,9 @@ def test_train_loop_fsdp_with_block_mix_routes(tmp_path):
         assert len(fused_mix._MIX_ROUTES) == 2
         rt, impl, _reg_perms = next(iter(fused_mix._MIX_ROUTES.values()))
         assert impl == "block"
-        mesh = rt[3]
+        # route tuple: (binv, bsrc, blk, (h, d), mesh, batch_axis) — the
+        # round-4 forward route added the shape slot before mesh
+        binv, bsrc, blk, shape, mesh, batch_axis = rt
         assert mesh is not None and mesh.size == jax.device_count(), \
             "block routes were registered without the mesh (single-chip kernel)"
     finally:
