@@ -228,6 +228,40 @@ inline float gelu(float v) {  // exact erf form (torch nn.GELU default)
   return 0.5f * v * (1.0f + std::erf(v * 0.70710678118654752440f));
 }
 
+// Vectorized erf-GELU over a row: the scalar libm erff call was 17% of the
+// whole flagship batch forward (gprof, round 4) — ~30M calls per B=64 batch.
+// erf(z) is evaluated as z * P(z^2) with P a degree-14 Chebyshev fit on
+// |z| <= 3.9 (beyond which erf is 1 within 3.5e-8, so clamping z there is
+// exact at f32), summed by CLENSHAW recurrence — a power-basis Horner loses
+// 1.5e-3 to cancellation in f32; Clenshaw keeps max |gelu err| at 8.8e-7,
+// two orders below the 1e-4 JAX-parity tolerance (tests/test_native.py).
+// Plain loops so the compiler vectorizes at the build's preferred width.
+inline void gelu_row(float* x, size_t n) {
+  static const float kC[15] = {
+      4.94167656e-01f, -3.46414506e-01f, 1.59582362e-01f, -7.38741606e-02f,
+      3.26777622e-02f, -1.35766221e-02f, 5.26372297e-03f, -1.90088199e-03f,
+      6.39695441e-04f, -2.00936018e-04f, 5.90447526e-05f, -1.62718552e-05f,
+      4.21655568e-06f, -1.03007642e-06f, 2.37828530e-07f};
+  constexpr float kB = 3.9f;                     // clamp: erf(3.9)=1-3.5e-8
+  constexpr float kInvSqrt2 = 0.70710678118654752440f;
+  constexpr float kUScale = 2.0f / (kB * kB);    // u in [0,B^2] -> t in [-1,1]
+  for (size_t i = 0; i < n; ++i) {
+    const float v = x[i];
+    float z = v * kInvSqrt2;
+    z = z > kB ? kB : (z < -kB ? -kB : z);
+    const float t = z * z * kUScale - 1.0f;
+    const float two_t = t + t;
+    float b1 = 0.0f, b2 = 0.0f;
+    for (int k = 14; k > 0; --k) {
+      const float b0 = kC[k] + two_t * b1 - b2;
+      b2 = b1;
+      b1 = b0;
+    }
+    const float p = kC[0] + t * b1 - b2;
+    x[i] = 0.5f * v * (1.0f + z * p);
+  }
+}
+
 // torch AdaptiveAvgPool1d over the last axis
 inline void adaptive_pool(const float* x, float* out, int M, int L, int Lo) {
   for (int m = 0; m < M; ++m) {
@@ -254,7 +288,7 @@ inline void spectre_linear(const Weights& w, const std::string& prefix,
        out.data(), M, K, N);
   layer_norm(out.data(), get(w, prefix + ".ln_scale").f.data(),
              get(w, prefix + ".ln_bias").f.data(), M, N);
-  for (auto& v : out) v = gelu(v);
+  gelu_row(out.data(), out.size());
   if (K == N) {
     for (size_t idx = 0; idx < out.size(); ++idx) out[idx] += x[idx];
   } else {
