@@ -210,17 +210,38 @@ inline void gemm(const float* x, const float* w, const float* bias, float* out,
 
 inline void layer_norm(float* x, const float* scale, const float* bias, int M, int N,
                 float eps = 1e-5f) {
+  // Lane-parallel partial sums: FP addition is not reassociable without
+  // -ffast-math, so a plain scalar reduction never vectorizes — the
+  // explicit 16-lane accumulator maps to one zmm and vectorizes the two
+  // reduction passes (the scalar double-accumulator version was ~10% of
+  // the flagship batch forward). f32 lane sums over N<=1024 stay within
+  // ~1e-6 relative of the double reference — far under the 1e-4 JAX
+  // parity tolerance (tests/test_native.py).
+  constexpr int kL = 16;
   for (int m = 0; m < M; ++m) {
     float* r = x + (size_t)m * N;
-    double mu = 0;
-    for (int n = 0; n < N; ++n) mu += r[n];
+    float part[kL] = {};
+    int n = 0;
+    for (; n + kL <= N; n += kL)
+      for (int l = 0; l < kL; ++l) part[l] += r[n + l];
+    float mu = 0;
+    for (int l = 0; l < kL; ++l) mu += part[l];
+    for (; n < N; ++n) mu += r[n];
     mu /= N;
-    double var = 0;
-    for (int n = 0; n < N; ++n) { double d = r[n] - mu; var += d * d; }
+    float vpart[kL] = {};
+    n = 0;
+    for (; n + kL <= N; n += kL)
+      for (int l = 0; l < kL; ++l) {
+        const float d = r[n + l] - mu;
+        vpart[l] += d * d;
+      }
+    float var = 0;
+    for (int l = 0; l < kL; ++l) var += vpart[l];
+    for (; n < N; ++n) { const float d = r[n] - mu; var += d * d; }
     var /= N;  // biased, matching jnp.var / torch LayerNorm
-    const float inv = 1.0f / std::sqrt((float)var + eps);
-    for (int n = 0; n < N; ++n)
-      r[n] = ((float)(r[n] - mu)) * inv * scale[n] + bias[n];
+    const float inv = 1.0f / std::sqrt(var + eps);
+    for (int nn = 0; nn < N; ++nn)
+      r[nn] = (r[nn] - mu) * inv * scale[nn] + bias[nn];
   }
 }
 
