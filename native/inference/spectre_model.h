@@ -449,13 +449,43 @@ inline void mix_gather_batched(const Weights& w, const Config& c,
         }
     }
   } else {
+    // Block-structured tables (ops/permute.py::make_block_mix_tables — the
+    // flagship ships mix_block=64): the permutation moves whole blk-row
+    // blocks, so each blk-run of indices is CONTIGUOUS and blk-aligned.
+    // Detect once per call (one scan of the [H, d] table vs B*H*d gather
+    // work) and replace the random scalar indexed loads with contiguous
+    // vectorizable copy+sign runs — the same structure-into-bandwidth
+    // conversion the TPU path's block-DMA kernels make.
+    int blk = 0;
+    for (int cand = 256; cand >= 8; cand >>= 1) {
+      if (d % cand) continue;
+      bool ok = true;
+      for (int h = 0; h < H && ok; ++h)
+        for (int j = 0; j < d && ok; j += cand) {
+          const int32_t base = tables.i[(size_t)h * d + j];
+          if (base % cand) { ok = false; break; }
+          for (int k = 1; k < cand; ++k)
+            if (tables.i[(size_t)h * d + j + k] != base + k) { ok = false; break; }
+        }
+      if (ok) { blk = cand; break; }
+    }
     for (int b = 0; b < B; ++b) {
       const float* xb = x.data() + (size_t)b * d;
       float* mb = mixed.data() + (size_t)b * H * d;
-      for (int h = 0; h < H; ++h)
-        for (int idx = 0; idx < d; ++idx)
-          mb[(size_t)h * d + idx] =
-              xb[tables.i[(size_t)h * d + idx]] * signs.f[(size_t)h * d + idx];
+      for (int h = 0; h < H; ++h) {
+        if (blk) {
+          for (int j = 0; j < d; j += blk) {
+            const float* src = xb + tables.i[(size_t)h * d + j];
+            const float* sg = signs.f.data() + (size_t)h * d + j;
+            float* o = mb + (size_t)h * d + j;
+            for (int k = 0; k < blk; ++k) o[k] = src[k] * sg[k];
+          }
+        } else {
+          for (int idx = 0; idx < d; ++idx)
+            mb[(size_t)h * d + idx] =
+                xb[tables.i[(size_t)h * d + idx]] * signs.f[(size_t)h * d + idx];
+        }
+      }
     }
   }
 }

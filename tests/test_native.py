@@ -20,12 +20,33 @@ def native_built(native_build):
     return native_build
 
 
-@pytest.mark.parametrize("mix_impl", ["gather", "structured"])
-def test_cpp_inference_matches_jax(native_built, tmp_path, mix_impl):
+@pytest.mark.parametrize("mix_impl,mix_block", [
+    ("gather", 0), ("structured", 0),
+    # block-structured tables (d=80, blk=8): the native runner detects the
+    # block structure and takes the contiguous copy+sign fast path — this
+    # case pins that path's numerics against JAX (it is bit-identical to
+    # the scalar gather by construction, but only if detection is right)
+    ("gather", 8),
+])
+def test_cpp_inference_matches_jax(native_built, tmp_path, mix_impl, mix_block):
     from spectre_tpu.repl.export import export_from_config
 
-    outdir = str(tmp_path / f"export_{mix_impl}")
-    export_from_config(_cfg(mix_impl=mix_impl), outdir=outdir, batch=3)
+    outdir = str(tmp_path / f"export_{mix_impl}_b{mix_block}")
+    cfg = _cfg(mix_impl=mix_impl, mix_block=mix_block)
+    export_from_config(cfg, outdir=outdir, batch=3)
+    if mix_block:
+        # guard against the silent-uniform fallback: the exported model must
+        # actually have sampled block tables, or this case tests nothing new
+        import jax
+        import jax.numpy as jnp
+        from spectre_tpu.models import build_model
+        from spectre_tpu.ops.fused_mix import _walk_mix_tables
+        from spectre_tpu.ops.permute import detect_block_size
+        m = build_model(cfg)
+        v = m.init(jax.random.key(cfg.random_seed),
+                   jnp.zeros((1, cfg.in_channels, cfg.img_size, cfg.img_size)))
+        perms = np.asarray(next(t for _, t in _walk_mix_tables(v)))
+        assert detect_block_size(perms, min_blk=8) == mix_block
 
     runner = os.path.join(native_built, "spectre_infer")
     r = subprocess.run(
