@@ -22,14 +22,29 @@ unattributed. This harness closes both gaps for bench.py's EXACT program
    the measured step time.
 
 Run: PYTHONPATH=/root/.axon_site:. python benchmarks/step_accounting.py
+
+CPU smoke (validates the trace->HLO join end-to-end without a chip;
+writes to /tmp instead of benchmarks/; the harness hard-codes the CIFAR
+augmentation pipeline, so --config must stay a 3-channel CIFAR config):
+  JAX_PLATFORMS=cpu python benchmarks/step_accounting.py --batch 8 --smoke
 """
 
 from __future__ import annotations
 
+import argparse
 import gzip
+import os
 import re
 import sys
 from collections import defaultdict
+
+# The axon plugin hooks get_backend and dials the chip tunnel even when
+# JAX_PLATFORMS=cpu is exported (it hangs when the tunnel is down), so a
+# CPU run must also pin via jax.config before any backend initializes —
+# same pattern as convergence_ab.py / tests/conftest.py (ROADMAP r3 #19b).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -100,8 +115,10 @@ def parse_hlo(hlo: str):
     return entry, comp_opnames
 
 
-# bucket rules, first match wins; matched against the fusion's own op_name
-# plus every op_name inside its fused computation (flax scope paths)
+# bucket rules, first match wins; matched against the CLEANED scope paths
+# (jax transform wrappers like "transpose(jvp(SpectreViT))" stripped — the
+# backward pass's transform prefix must not hit the relayout rule) of the
+# fusion's own op_name plus every op_name inside its fused computation
 BUCKET_RULES = [
     ("optimizer (AdamW+cosine)",
      r"adamw|scale_by|opt_state|apply_updates|weight_decay"),
@@ -110,40 +127,91 @@ BUCKET_RULES = [
     ("loss (CE+softmax)", r"cross_entropy|log_softmax|softmax|one_hot"),
     ("mix gather/scatter",
      r"perm_rows|block_gather|block_scatter|take|gather|scatter"),
-    ("mix sign/fold epilogue", r"/mix/|folded"),
-    ("layernorm", r"layer_norm|layernorm|/ln|norm1|norm2|variance"),
+    ("mix fold/sign/route (mix_layer non-GEMM)", r"mix_layer|/mix/|folded"),
+    ("layernorm", r"layer_norm|layernorm|LayerNorm|/ln|norm1|norm2|variance"),
     ("GELU", r"gelu|erf"),
-    ("patch embed (rfft2 GEMM)", r"patch_embed|spectral"),
+    ("patch embed (rfft2 GEMM)", r"patch_embed|embeddings_block|spectral"),
     ("pool residual", r"avg_pool|pool"),
     ("GEMM (dot_general)", r"dot_general|einsum|conv_general"),
-    ("transpose/copy/relayout", r"transpose|copy|reshape|bitcast"),
 ]
+
+_TRANSFORM_SEG = re.compile(r"^\w+\(")  # "transpose(jvp(M))", "jvp(M)", ...
+_RELAYOUT_PRIM = re.compile(
+    r"^(transpose|copy|reshape|bitcast|convert_element_type|squeeze|"
+    r"broadcast_in_dim)(\[|$|\.)")
+
+
+def clean_paths(op_names: list[str]) -> tuple[list[str], list[str]]:
+    """Normalize scope paths; return (paths, final primitive names).
+
+    Transform wrapper segments are unwrapped to their innermost name —
+    "transpose(jvp(SpectreViT))" -> "SpectreViT" (the backward transform
+    prefix must not hit the relayout rule) but "vmap(jit(rotate))" ->
+    "rotate" (the wrapped function name is the only handle on augment ops).
+    """
+    paths, prims = [], []
+    for n in op_names:
+        s = n.split("jit(train_step)/")[-1]
+        parts = []
+        for p in s.split("/"):
+            while _TRANSFORM_SEG.match(p):
+                p = p[p.index("(") + 1:].rstrip(")")
+            if p:
+                parts.append(p)
+        if not parts:
+            continue
+        paths.append("/".join(parts))
+        prims.append(parts[-1])
+    return paths, prims
 
 
 def classify(op_names: list[str], opcode: str) -> str:
-    joined = " ".join(op_names)
-    # GEMM first when the fusion's root computation is a dot — dot fusions
-    # carry many epilogue op_names that would otherwise mis-bucket them
+    paths, prims = clean_paths(op_names)
+    joined = " ".join(paths)
+    # GEMM first when the fusion computes a dot — dot fusions carry many
+    # epilogue op_names that would otherwise mis-bucket them
     if "dot_general" in joined and ("fusion" in opcode or opcode == "dot"):
-        # ... unless the dot is tiny and the traffic op dominates; the
-        # attribution column keeps the full path list for inspection
         return "GEMM (dot_general)"
     for bucket, pat in BUCKET_RULES:
         if re.search(pat, joined):
             return bucket
+    # relayout: decided by the PRIMITIVE names / opcode only — scope-path
+    # substring matching would swallow the whole backward pass
     if opcode in ("copy", "transpose", "bitcast", "copy-start", "copy-done"):
+        return "transpose/copy/relayout"
+    if prims and all(_RELAYOUT_PRIM.match(p) for p in prims):
         return "transpose/copy/relayout"
     if opcode.startswith("all-") or opcode in ("tuple", "get-tuple-element"):
         return "infra"
     return f"other ({opcode})"
 
 
-def main():
-    out_full = "benchmarks/v5e_train_step_ops_r4_full.csv.gz"
-    out_buckets = "benchmarks/v5e_train_step_buckets_r4.csv"
+def classify_row(name: str, op_names: list[str], opcode: str) -> str:
+    bucket = classify(op_names, opcode)
+    if bucket == "other (fusion)" and not op_names:
+        # no HLO metadata for this trace row (CPU runtime thunk wrappers,
+        # renamed instructions): fall back to the fusion's own name
+        if re.match(r"(wrapped_)?(convert|copy|transpose|bitcast)", name):
+            return "transpose/copy/relayout"
+    return bucket
 
-    cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
-    cfg.batch_size = 1024
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config",
+                    default="spectre_tpu/configs/spectre_vit_cifar100.py")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--smoke", action="store_true",
+                    help="CPU smoke: tiny run, artifacts to /tmp, no "
+                         "block-route assertion (small geometries may not "
+                         "divide)")
+    args = ap.parse_args()
+    prefix = "/tmp" if args.smoke else "benchmarks"
+    out_full = f"{prefix}/v5e_train_step_ops_r4_full.csv.gz"
+    out_buckets = f"{prefix}/v5e_train_step_buckets_r4.csv"
+
+    cfg = parse_config(args.config)
+    cfg.batch_size = args.batch
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=195)
     rng = np.random.default_rng(0)
@@ -153,10 +221,13 @@ def main():
     labels = jnp.asarray(rng.integers(
         0, cfg.num_classes, cfg.batch_size).astype(np.int32))
     state = create_train_state(model, tx, images, seed=0)
-    assert getattr(cfg, "mix_block", 0), "flagship config must ship mix_block"
     from spectre_tpu.ops.fused_mix import register_block_mix_routes
     keys = register_block_mix_routes(state.variables())
-    assert keys, "no block routes registered"
+    if not args.smoke:
+        assert getattr(cfg, "mix_block", 0), \
+            "flagship config must ship mix_block"
+        assert keys, "no block routes registered"
+    print(f"block routes registered: {len(keys)}", flush=True)
 
     step = make_train_step(model, augment_fn=make_train_augment(
         CIFAR100_MEAN, CIFAR100_STD))
@@ -173,7 +244,8 @@ def main():
     for _ in range(5):
         state, m = step(state, images, labels)
     np.asarray(m["loss"])
-    with trace_step("plots/train_step_trace_r4") as t:
+    with trace_step(f"{'/tmp' if args.smoke else 'plots'}"
+                    "/train_step_trace_r4") as t:
         for _ in range(3):
             state, m = step(state, images, labels)
         np.asarray(m["loss"])
@@ -182,6 +254,11 @@ def main():
     # drop the aggregate rows (whole-step spans + bare step indices) and
     # host-only lanes — this table accounts DEVICE time
     df = df[~df["name"].str.match(r"jit_train_step|\d+$")]
+    if df["device_total_ms"].sum() == 0 and args.smoke:
+        # CPU traces have no device lane; account host op time instead so
+        # the smoke still exercises the full join/bucket/roofline path
+        df = df[df["name"].isin(entry)].copy()
+        df["device_total_ms"] = df["host_total_ms"]
     df = df[df["device_total_ms"] > 0].copy()
     step_ms = df["device_total_ms"].sum() / 3
 
@@ -192,7 +269,7 @@ def main():
             name, ("", name.split(".")[0], "", None))
         inner = comp_opnames.get(calls, []) if calls else []
         all_names = ([op_name] if op_name else []) + inner
-        bucket = classify(all_names, opcode)
+        bucket = classify_row(name, all_names, opcode)
         # roofline: bytes = output + operand footprints are not separable
         # from the text reliably for operands (they are references), so use
         # the output bytes as the WRITE floor; reads >= writes for every

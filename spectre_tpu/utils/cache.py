@@ -23,19 +23,85 @@ import os
 import jax
 
 
+def _cpuid_dump() -> str | None:
+    """Raw CPUID leaves of this host, as hex text (x86_64 only).
+
+    /proc/cpuinfo is NOT authoritative under virtualization: GCP reports
+    identical identity lines (family 6 model 207 stepping 2, microcode 0x1)
+    on hosts whose hypervisor-masked CPUID differs in exactly the bits LLVM
+    derives tuning features from (+prefer-no-gather/+prefer-no-scatter —
+    Downfall-class mitigations), so two hosts hash identically here while
+    cpu_aot_loader still rejects each other's AOT code (observed THIS repo,
+    round 4: machine-feature warnings inside an already-fingerprinted
+    cache dir). LLVM reads CPUID directly; so must the fingerprint. A tiny
+    executable-mmap thunk keeps it dependency-free and in-process."""
+    import ctypes
+    import mmap
+    import platform
+    import struct
+
+    if platform.machine() != "x86_64":
+        return None
+    # void f(uint32_t io[4]): eax=io[0], ecx=io[1]; cpuid; io = eax,ebx,ecx,edx
+    code = bytes([
+        0x53,                    # push rbx   (callee-saved, cpuid clobbers)
+        0x8B, 0x07,              # mov eax, [rdi]
+        0x8B, 0x4F, 0x04,        # mov ecx, [rdi+4]
+        0x0F, 0xA2,              # cpuid
+        0x89, 0x07,              # mov [rdi], eax
+        0x89, 0x5F, 0x04,        # mov [rdi+4], ebx
+        0x89, 0x4F, 0x08,        # mov [rdi+8], ecx
+        0x89, 0x57, 0x0C,        # mov [rdi+12], edx
+        0x5B,                    # pop rbx
+        0xC3,                    # ret
+    ])
+    try:
+        buf = mmap.mmap(-1, len(code),
+                        prot=mmap.PROT_READ | mmap.PROT_WRITE | mmap.PROT_EXEC)
+        buf.write(code)
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        fn = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint32))(addr)
+
+        io = (ctypes.c_uint32 * 4)()
+
+        def cpuid(leaf: int, subleaf: int = 0) -> tuple[int, int, int, int]:
+            io[0], io[1], io[2], io[3] = leaf, subleaf, 0, 0
+            fn(io)
+            return tuple(io)
+
+        out: list[str] = []
+        max_basic = min(cpuid(0)[0], 0x20)
+        for leaf in range(max_basic + 1):
+            # subleaf-indexed leaves: dump the first few subleaves (7 =
+            # structured extended features — where the mitigation bits live)
+            subleaves = range(3) if leaf in (0x4, 0x7, 0xD, 0x12, 0x14) \
+                else range(1)
+            for sub in subleaves:
+                out.append("%08x.%x:%08x%08x%08x%08x"
+                           % ((leaf, sub) + cpuid(leaf, sub)))
+        max_ext = cpuid(0x80000000)[0]
+        if 0x80000000 <= max_ext:
+            for leaf in range(0x80000000, min(max_ext, 0x80000020) + 1):
+                out.append("%08x.0:%08x%08x%08x%08x"
+                           % ((leaf,) + cpuid(leaf)))
+        del fn  # release before the mmap buffer
+        return "\n".join(out)
+    except Exception:
+        return None
+
+
 def _host_cpu_fingerprint() -> str:
     """A stable fingerprint of THIS host's CPU identity, so caches from a
     different machine type land in a different directory.
 
-    Hashing only the cpuinfo 'flags' line is NOT enough: LLVM tuning
-    features such as +prefer-no-gather/+prefer-no-scatter are derived from
-    the CPU family/model/stepping/microcode (Downfall-class mitigations),
-    not from the flags line, so two hosts with identical flags can still
-    produce mutually-incompatible AOT code (observed: cpu_aot_loader
-    machine-feature warnings inside an already-fingerprinted cache dir
-    after a VM migration between Xeon generations). Include the identity
-    lines alongside the flags."""
+    Primary source: the raw CPUID leaves (what LLVM's host detection
+    actually reads — see _cpuid_dump for why /proc/cpuinfo identity lines
+    are insufficient under virtualization). cpuinfo lines are appended as
+    a secondary signal and serve as the fallback on non-x86 hosts."""
     parts: list[str] = []
+    cpuid = _cpuid_dump()
+    if cpuid:
+        parts.append(cpuid)
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

@@ -84,3 +84,36 @@ def test_compilation_cache_namespaces_cpu_pins(tmp_path, monkeypatch):
         assert path == str(tmp_path / f"cpu-{fp}")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_cpuid_probe_reads_real_leaves():
+    """The fingerprint's primary source must be the RAW CPUID leaves —
+    /proc/cpuinfo is hypervisor-virtualized (identical identity lines on
+    hosts whose CPUID differs in the bits LLVM derives +prefer-no-gather
+    from; observed round 4 as foreign-AOT warnings inside a fingerprinted
+    dir). On x86_64 the probe must work, be stable, and carry the leaves
+    LLVM's host detection reads."""
+    import platform
+
+    from spectre_tpu.utils.cache import _cpuid_dump
+
+    d = _cpuid_dump()
+    if platform.machine() != "x86_64":
+        assert d is None
+        return
+    assert d is not None and d == _cpuid_dump()
+    lines = d.splitlines()
+    leaves = {ln.split(":")[0] for ln in lines}
+    assert "00000000.0" in leaves      # vendor
+    assert "00000001.0" in leaves      # family/model/stepping
+    assert "00000007.0" in leaves      # structured extended features
+    assert "00000007.1" in leaves      # subleaf enumeration works
+    assert any(l.startswith("80000000") for l in leaves)  # extended range
+    # leaf 0 must decode to a known vendor string, proving the thunk
+    # actually executed CPUID rather than returning zeroed memory
+    eax_line = next(ln for ln in lines if ln.startswith("00000000.0:"))
+    regs = eax_line.split(":")[1]
+    ebx, ecx, edx = regs[8:16], regs[16:24], regs[24:32]
+    vendor = bytes.fromhex(ebx)[::-1] + bytes.fromhex(edx)[::-1] \
+        + bytes.fromhex(ecx)[::-1]
+    assert vendor in (b"GenuineIntel", b"AuthenticAMD"), vendor
