@@ -56,6 +56,15 @@ int main(int argc, char** argv) {
            meta_int(meta, "embed_dim"), meta_int(meta, "num_encoders"),
            meta_int(meta, "num_heads"), meta_int(meta, "hidden_dim"),
            meta.count("mix_impl") ? meta["mix_impl"] : "gather"};
+  if (args.count("--int8") && args["--int8"] != "0") {
+#ifdef SPECTRE_HAS_INT8
+    int8_mode().store(true);
+#else
+    std::cerr << "--int8 requires an AVX512-VNNI build (this binary was "
+                 "compiled without it)\n";
+    return 2;
+#endif
+  }
 
   const int batch = args.count("--batch") ? std::stoi(args["--batch"]) : 1;
   const size_t img_elems = (size_t)c.in_channels * c.img_size * c.img_size;

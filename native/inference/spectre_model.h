@@ -29,6 +29,8 @@
 #include <immintrin.h>
 #endif
 
+#include <mutex>
+
 namespace spectre {
 
 struct Tensor {
@@ -347,6 +349,225 @@ inline void gemm(const float* x, const float* w, const float* bias, float* out,
   for (auto& th : pool) th.join();
 }
 
+// ----------------- int8 (AVX512-VNNI) quantized GEMM path -----------------
+//
+// Opt-in (--int8 on the CLI runner and serving daemon): the reference
+// project's stated goal is lightweight models for embedded devices
+// (/root/reference/pyproject.toml:4); a quantized serving path is the
+// natural deployment extension. Scheme: per-output-channel symmetric s8
+// weights (quantized once at load, cached), per-row dynamic u8 activations
+// (asymmetric, zero-point corrected via precomputed weight column sums),
+// s32 VPDPBUSD accumulation, f32 dequant + bias epilogue. LayerNorm/GELU/
+// residuals stay f32, as do the patch-embed GEMM and the classifier head
+// (N=100 fails the lane-multiple gate below), so quantization error enters
+// only through the three encoder GEMMs and is re-normalized by each LN.
+// Accuracy is pinned by tests/test_native.py::test_int8_* (logit tolerance
+// + argmax agreement vs the f32 runner).
+//
+// No intermediate-overflow risk: |4 * 255 * 127| < 2^17 per VPDPBUSD step
+// (non-saturating variant) and K <= 8192 keeps |acc| < 2.7e8 < 2^31.
+
+inline std::atomic<bool>& int8_mode() {
+  static std::atomic<bool> m{false};
+  return m;
+}
+
+#if defined(__AVX512VNNI__) && defined(__AVX512F__)
+#define SPECTRE_HAS_INT8 1
+
+struct QuantW {
+  int K = 0, N = 0, Kp = 0;      // Kp: K rounded up to a multiple of 4
+  std::vector<int8_t> packed;    // VNNI layout [Kp/4][N][4]
+  std::vector<float> scale;      // [N] per-output-channel
+  std::vector<int32_t> colsum;   // [N] sum_k w_q[k, n] (zero-point corr.)
+};
+
+// Quantize + VNNI-pack a weight matrix once per process; keyed by data
+// pointer (weights live for the process lifetime in the Weights map).
+inline const QuantW& quantize_weights(const float* w, int K, int N) {
+  static std::map<const float*, QuantW>* cache = new std::map<const float*, QuantW>();
+  static std::mutex mu;
+  std::lock_guard<std::mutex> lk(mu);
+  auto it = cache->find(w);
+  if (it != cache->end()) return it->second;
+  QuantW q;
+  q.K = K; q.N = N; q.Kp = (K + 3) & ~3;
+  q.scale.resize(N);
+  q.colsum.assign(N, 0);
+  q.packed.assign((size_t)q.Kp * N, 0);  // padded k rows stay 0
+  for (int n = 0; n < N; ++n) {
+    float amax = 0.0f;
+    for (int k = 0; k < K; ++k)
+      amax = std::max(amax, std::fabs(w[(size_t)k * N + n]));
+    q.scale[n] = amax > 0.0f ? amax / 127.0f : 1.0f;
+  }
+  for (int k = 0; k < K; ++k) {
+    const float* wr = w + (size_t)k * N;
+    for (int n = 0; n < N; ++n) {
+      int v = (int)std::nearbyint(wr[n] / q.scale[n]);
+      v = v < -127 ? -127 : (v > 127 ? 127 : v);
+      q.packed[(((size_t)(k >> 2) * N) + n) * 4 + (k & 3)] = (int8_t)v;
+      q.colsum[n] += v;
+    }
+  }
+  return cache->emplace(w, std::move(q)).first->second;
+}
+
+// out[M,N] = dequant(xq @ wq) + bias. xq rows are u8 with per-row scale
+// sx / zero-point zx; identity: sum_k x[k]*w[k,n] ≈
+//   sx * scale[n] * (sum_k xq[k]*wq[k,n] - zx * colsum[n]).
+inline void gemm_int8(const float* x, const QuantW& qw, const float* bias,
+                      float* out, int M, int K, int N) {
+  const int Kp = qw.Kp;
+  // 1) per-row dynamic u8 quantization of the activations
+  std::vector<uint8_t> xq((size_t)M * Kp);
+  std::vector<float> sx(M);
+  std::vector<int32_t> zx(M);
+  for (int m = 0; m < M; ++m) {
+    const float* r = x + (size_t)m * K;
+    // lane-parallel partial min/max: like FP addition, float min/max
+    // reductions are not reassociable under strict semantics (NaN
+    // propagation), so the plain scalar loop never vectorizes — this row
+    // scan was the dominant gemm_int8 overhead (73 of 203 ms at the mix
+    // shape). 16 independent lanes map to vminps/vmaxps on one zmm.
+    constexpr int kL = 16;
+    float pmn[kL], pmx[kL];
+    for (int l = 0; l < kL; ++l) pmn[l] = pmx[l] = r[0];
+    int k = 0;
+    for (; k + kL <= K; k += kL)
+      for (int l = 0; l < kL; ++l) {
+        const float v = r[k + l];
+        pmn[l] = v < pmn[l] ? v : pmn[l];
+        pmx[l] = v > pmx[l] ? v : pmx[l];
+      }
+    float mn = pmn[0], mx = pmx[0];
+    for (int l = 1; l < kL; ++l) {
+      mn = pmn[l] < mn ? pmn[l] : mn;
+      mx = pmx[l] > mx ? pmx[l] : mx;
+    }
+    for (; k < K; ++k) {
+      mn = r[k] < mn ? r[k] : mn;
+      mx = r[k] > mx ? r[k] : mx;
+    }
+    float s = (mx - mn) / 255.0f;
+    if (s <= 0.0f) s = 1.0f;
+    const float inv = 1.0f / s;
+    int z = (int)std::nearbyint(-mn * inv);
+    z = z < 0 ? 0 : (z > 255 ? 255 : z);
+    sx[m] = s;
+    zx[m] = z;
+    uint8_t* o = xq.data() + (size_t)m * Kp;
+    // branch-free round-half-up so the loop autovectorizes (a libm
+    // nearbyint call per element was the biggest gemm_int8 overhead;
+    // the quantizer has no bit-parity contract, only the tolerance tests)
+    const float zf = (float)z;
+    for (int k = 0; k < K; ++k) {
+      float t = r[k] * inv + zf;
+      t = t < 0.0f ? 0.0f : (t > 255.0f ? 255.0f : t);
+      o[k] = (uint8_t)(int)(t + 0.5f);
+    }
+    for (int k = K; k < Kp; ++k) o[k] = (uint8_t)z;  // pad; wq pad rows = 0
+  }
+
+  // 2) s32 accumulation, K-blocked so the w panel stays L2-resident
+  std::vector<int32_t> acc32((size_t)M * N, 0);
+  int KC = (int)((1u << 20) / (size_t)N);  // int8 panel bytes = KC * N
+  KC = KC < 64 ? 64 : (KC / 64) * 64;
+  if (KC > Kp) KC = Kp;
+  std::vector<uint8_t> panel;
+  for (int k0 = 0; k0 < Kp; k0 += KC) {
+    const int kc = std::min(KC, Kp - k0), kg = kc >> 2;
+    for (int m0 = 0; m0 < M; m0 += 8) {
+      // pack 8 rows x kc bytes as [kg][8][4] (u32 copies); an M tail
+      // (mr < 8) duplicates its last row into the dead lanes — the kernel
+      // wastes <=7 rows of FMAs but stays fully vectorized (a scalar tail
+      // cost ~25 ms at B=1, where M = 65 = 8*8 + 1)
+      const int mr = std::min(8, M - m0);
+      panel.resize((size_t)kg * 32);
+      for (int g = 0; g < kg; ++g) {
+        uint32_t* dst = reinterpret_cast<uint32_t*>(panel.data() + (size_t)g * 32);
+        for (int i = 0; i < 8; ++i) {
+          const int src = m0 + (i < mr ? i : mr - 1);
+          std::memcpy(&dst[i], xq.data() + (size_t)src * Kp + k0 + g * 4, 4);
+        }
+      }
+      int n0 = 0;
+      for (; n0 + 48 <= N; n0 += 48) {
+        __m512i acc[8][3];
+        for (int i = 0; i < 8; ++i)
+          for (int j = 0; j < 3; ++j) acc[i][j] = _mm512_setzero_si512();
+        const uint8_t* pr = panel.data();
+        for (int g = 0; g < kg; ++g, pr += 32) {
+          const int8_t* wr = qw.packed.data() +
+              (((size_t)((k0 >> 2) + g) * N) + n0) * 4;
+          const __m512i w0 = _mm512_loadu_si512(wr);
+          const __m512i w1 = _mm512_loadu_si512(wr + 64);
+          const __m512i w2 = _mm512_loadu_si512(wr + 128);
+          for (int i = 0; i < 8; ++i) {
+            uint32_t a;
+            std::memcpy(&a, pr + i * 4, 4);
+            const __m512i av = _mm512_set1_epi32((int)a);
+            acc[i][0] = _mm512_dpbusd_epi32(acc[i][0], av, w0);
+            acc[i][1] = _mm512_dpbusd_epi32(acc[i][1], av, w1);
+            acc[i][2] = _mm512_dpbusd_epi32(acc[i][2], av, w2);
+          }
+        }
+        for (int i = 0; i < mr; ++i) {
+          int32_t* o = acc32.data() + (size_t)(m0 + i) * N + n0;
+          _mm512_storeu_si512(o, _mm512_add_epi32(
+              _mm512_loadu_si512(o), acc[i][0]));
+          _mm512_storeu_si512(o + 16, _mm512_add_epi32(
+              _mm512_loadu_si512(o + 16), acc[i][1]));
+          _mm512_storeu_si512(o + 32, _mm512_add_epi32(
+              _mm512_loadu_si512(o + 32), acc[i][2]));
+        }
+      }
+      for (; n0 + 16 <= N; n0 += 16) {
+        __m512i acc[8];
+        for (int i = 0; i < 8; ++i) acc[i] = _mm512_setzero_si512();
+        const uint8_t* pr = panel.data();
+        for (int g = 0; g < kg; ++g, pr += 32) {
+          const __m512i w0 = _mm512_loadu_si512(
+              qw.packed.data() + (((size_t)((k0 >> 2) + g) * N) + n0) * 4);
+          for (int i = 0; i < 8; ++i) {
+            uint32_t a;
+            std::memcpy(&a, pr + i * 4, 4);
+            acc[i] = _mm512_dpbusd_epi32(acc[i], _mm512_set1_epi32((int)a), w0);
+          }
+        }
+        for (int i = 0; i < mr; ++i) {
+          int32_t* o = acc32.data() + (size_t)(m0 + i) * N + n0;
+          _mm512_storeu_si512(o, _mm512_add_epi32(_mm512_loadu_si512(o),
+                                                  acc[i]));
+        }
+      }
+      for (; n0 < N; ++n0) {  // scalar N tail
+        for (int i = 0; i < mr; ++i) {
+          const uint8_t* xr = xq.data() + (size_t)(m0 + i) * Kp + k0;
+          int32_t s = 0;
+          for (int k = 0; k < kc; ++k)
+            s += (int32_t)xr[k] *
+                 qw.packed[(((size_t)((k0 + k) >> 2) * N) + n0) * 4 +
+                           ((k0 + k) & 3)];
+          acc32[(size_t)(m0 + i) * N + n0] += s;
+        }
+      }
+    }
+  }
+
+  // 3) dequantize + bias
+  for (int m = 0; m < M; ++m) {
+    const float s = sx[m];
+    const int32_t z = zx[m];
+    const int32_t* a = acc32.data() + (size_t)m * N;
+    float* o = out + (size_t)m * N;
+    for (int n = 0; n < N; ++n)
+      o[n] = s * qw.scale[n] * (float)(a[n] - z * qw.colsum[n]) +
+             (bias ? bias[n] : 0.0f);
+  }
+}
+#endif  // __AVX512VNNI__ && __AVX512F__
+
 inline void layer_norm(float* x, const float* scale, const float* bias, int M, int N,
                 float eps = 1e-5f) {
   // Lane-parallel partial sums: FP addition is not reassociable without
@@ -449,6 +670,19 @@ inline void spectre_linear(const Weights& w, const std::string& prefix,
   const Tensor& kernel = get(w, prefix + ".kernel");
   const int N = kernel.dims[1];
   out.assign((size_t)M * N, 0.0f);
+#ifdef SPECTRE_HAS_INT8
+  // int8 gate: only the wide encoder GEMMs (mix projection, FF pair); the
+  // classifier head (N=100, not a lane multiple) and anything small stays
+  // f32 so logits keep full precision at negligible cost.
+  // SPECTRE_INT8_ALL=1 drops the size floor (parity tests exercise the
+  // quantized path at tiny geometries).
+  static const bool kInt8All = std::getenv("SPECTRE_INT8_ALL") != nullptr;
+  if (int8_mode().load(std::memory_order_relaxed) && N % 16 == 0 &&
+      (kInt8All || (K >= 256 && (size_t)K * N >= (size_t)256 * 512))) {
+    gemm_int8(x.data(), quantize_weights(kernel.f.data(), K, N),
+              get(w, prefix + ".bias").f.data(), out.data(), M, K, N);
+  } else
+#endif
   gemm(x.data(), kernel.f.data(), get(w, prefix + ".bias").f.data(),
        out.data(), M, K, N);
   layer_norm(out.data(), get(w, prefix + ".ln_scale").f.data(),

@@ -352,6 +352,16 @@ int main(int argc, char** argv) {
   if (args.count("--max-batch")) srv.max_batch = std::stoul(args["--max-batch"]);
   if (args.count("--batch-timeout-us"))
     srv.batch_timeout_us = std::stoi(args["--batch-timeout-us"]);
+  if (args.count("--int8") && args["--int8"] != "0") {
+#ifdef SPECTRE_HAS_INT8
+    spectre::int8_mode().store(true);
+    std::cerr << "int8 VNNI quantized GEMMs enabled\n";
+#else
+    std::cerr << "--int8 requires an AVX512-VNNI build (this binary was "
+                 "compiled without it)\n";
+    return 2;
+#endif
+  }
 
   // shared-secret token: --token-file wins over $SPECTRE_SERVE_TOKEN.
   // Never accepted via argv (leaks through ps/procfs).

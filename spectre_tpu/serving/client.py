@@ -39,7 +39,7 @@ SERVER_BIN = os.path.join(_REPO, "native", "build", "spectre_serve")
 def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
                  binary: str | None = None, timeout: float = 30.0,
                  uds: str | None = None, host: str | None = None,
-                 token_file: str | None = None):
+                 token_file: str | None = None, int8: bool = False):
     """Launch spectre_serve on an exported model directory (weights.stw +
     meta.txt, as written by repl/export.py). Returns ``(Popen, addr)``:
     ``addr`` is the bound TCP port (int), or the unix-socket path (str) when
@@ -58,6 +58,9 @@ def start_server(export_dir: str, port: int = 0, max_batch: int = 256,
         transport += ["--host", host]
     if token_file is not None:
         transport += ["--token-file", token_file]
+    if int8:
+        # opt-in VNNI-quantized GEMMs (daemon refuses on non-VNNI builds)
+        transport += ["--int8", "1"]
     proc = subprocess.Popen(
         [binary,
          "--weights", os.path.join(export_dir, "weights.stw"),

@@ -34,7 +34,18 @@ def _cpuid_dump() -> str | None:
     cpu_aot_loader still rejects each other's AOT code (observed THIS repo,
     round 4: machine-feature warnings inside an already-fingerprinted
     cache dir). LLVM reads CPUID directly; so must the fingerprint. A tiny
-    executable-mmap thunk keeps it dependency-free and in-process."""
+    executable-mmap thunk keeps it dependency-free and in-process.
+
+    Caveat discovered while validating this (round 4): the
+    "+prefer-no-gather is not supported on the host machine" warnings
+    THEMSELVES are intrinsic to this jaxlib and fire even when an entry is
+    reloaded on the very host that wrote it seconds earlier (measured:
+    fresh compile run warns 0x, same-host reload warns on every load) —
+    the AOT writer embeds LLVM *tuning* preferences in the feature list
+    while the loader validates against CPUID-derived host features, which
+    never contain tuning prefs. So those two warning lines are benign
+    noise, NOT evidence of foreign code; the fingerprint still guards the
+    real cross-machine case where actual ISA features differ."""
     import ctypes
     import mmap
     import platform

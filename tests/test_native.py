@@ -112,3 +112,123 @@ def test_native_gather_batch(native_built):
     bi, bl = native_loader.gather_batch(images, labels, perm)
     np.testing.assert_array_equal(bl, labels[perm])
     np.testing.assert_array_equal(bi, images[perm])
+
+
+def _has_vnni() -> bool:
+    try:
+        with open("/proc/cpuinfo") as f:
+            return "avx512_vnni" in f.read()
+    except OSError:
+        return False
+
+
+def test_int8_runner_close_to_f32_and_argmax_agrees(native_built, tmp_path):
+    """Opt-in int8 (VNNI) path: per-channel s8 weights + per-row dynamic u8
+    activations must track the f32 runner closely and preserve argmax.
+    SPECTRE_INT8_ALL drops the size floor so the quantized kernels engage
+    at this tiny geometry (the production gate only quantizes the wide
+    encoder GEMMs)."""
+    if not _has_vnni():
+        pytest.skip("host has no AVX512-VNNI")
+    from spectre_tpu.repl.export import export_from_config
+
+    outdir = str(tmp_path / "export_int8")
+    export_from_config(_cfg(), outdir=outdir, batch=3)
+    runner = os.path.join(native_built, "spectre_infer")
+    base = [runner, "--weights", f"{outdir}/weights.stw",
+            "--meta", f"{outdir}/meta.txt",
+            "--input", f"{outdir}/example_input.f32", "--batch", "3"]
+    r = subprocess.run(base + ["--out", f"{outdir}/f32.bin"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ, SPECTRE_INT8_ALL="1")
+    r = subprocess.run(base + ["--int8", "1", "--out", f"{outdir}/i8.bin"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    f32 = np.fromfile(f"{outdir}/f32.bin", np.float32).reshape(3, -1)
+    i8 = np.fromfile(f"{outdir}/i8.bin", np.float32).reshape(3, -1)
+    # quantization error bound: logits live on an O(1) scale here; the
+    # observed max deviation is ~1e-2 — assert 5x headroom, not bitwise
+    np.testing.assert_allclose(i8, f32, atol=5e-2)
+    assert (np.argmax(i8, -1) == np.argmax(f32, -1)).all()
+
+
+def test_int8_serving_daemon(native_built, tmp_path):
+    """--int8 plumbs through start_server and serves logits that match the
+    exported JAX reference within quantization tolerance."""
+    if not _has_vnni():
+        pytest.skip("host has no AVX512-VNNI")
+    from spectre_tpu.repl.export import export_from_config
+    from spectre_tpu.serving import SpectreClient, start_server
+
+    outdir = str(tmp_path / "export_int8_srv")
+    export_from_config(_cfg(), outdir=outdir, batch=3)
+    binary = os.path.join(native_built, "spectre_serve")
+    env_had = os.environ.get("SPECTRE_INT8_ALL")
+    os.environ["SPECTRE_INT8_ALL"] = "1"
+    try:
+        proc, port = start_server(outdir, binary=binary, int8=True)
+    finally:
+        if env_had is None:
+            os.environ.pop("SPECTRE_INT8_ALL", None)
+        else:
+            os.environ["SPECTRE_INT8_ALL"] = env_had
+    try:
+        x = np.fromfile(f"{outdir}/example_input.f32", np.float32)
+        x = x.reshape(3, 3, 8, 8)
+        with SpectreClient(port=port) as c:
+            got = c.infer(x)
+        want = np.fromfile(f"{outdir}/example_logits.f32",
+                           np.float32).reshape(3, -1)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+        assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+@pytest.mark.slow
+def test_int8_argmax_agreement_on_trained_model(native_built, tmp_path):
+    """Quantization accuracy on a TRAINED model, not just random init: train
+    the tiny config for a few synthetic steps, export the checkpoint, and
+    require near-total argmax agreement between the f32 and int8 runners
+    over a 64-sample batch (trained logit margins must dominate the ~1e-2
+    quantization noise)."""
+    if not _has_vnni():
+        pytest.skip("host has no AVX512-VNNI")
+    from spectre_tpu.repl.export import export_from_config
+    from spectre_tpu.train.loop import train_from_config
+
+    # dataset=cifar100: synthetic data is 3-channel (the tiny export cfg is
+    # 3x8x8; the mnist synthetic stream is 1-channel and would not feed it).
+    # num_classes must stay 100 to match the synthetic label range.
+    cfg = _cfg(checkpoint_dir=str(tmp_path / "ckpt"), batch_size=16,
+               dataset="cifar100", num_classes=100)
+    train_from_config(cfg, max_steps=12, synthetic=True, checkpoint=True,
+                      write_metrics=False)
+    # checkpoints land under {checkpoint_dir}/{experiment_name}/ckpt
+    import glob
+    ckpt_dirs = glob.glob(str(tmp_path / "ckpt" / "*" / "ckpt"))
+    assert len(ckpt_dirs) == 1, ckpt_dirs
+    outdir = str(tmp_path / "export_trained")
+    export_from_config(cfg, checkpoint=ckpt_dirs[0], outdir=outdir, batch=2)
+
+    rng = np.random.default_rng(7)
+    batch = rng.uniform(0, 1, (64, 3, 8, 8)).astype(np.float32)
+    inp = str(tmp_path / "b64.f32")
+    batch.tofile(inp)
+    runner = os.path.join(native_built, "spectre_infer")
+    base = [runner, "--weights", f"{outdir}/weights.stw",
+            "--meta", f"{outdir}/meta.txt", "--input", inp, "--batch", "64"]
+    r = subprocess.run(base + ["--out", f"{outdir}/f32.bin"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ, SPECTRE_INT8_ALL="1")
+    r = subprocess.run(base + ["--int8", "1", "--out", f"{outdir}/i8.bin"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    f32 = np.fromfile(f"{outdir}/f32.bin", np.float32).reshape(64, -1)
+    i8 = np.fromfile(f"{outdir}/i8.bin", np.float32).reshape(64, -1)
+    agree = (f32.argmax(-1) == i8.argmax(-1)).mean()
+    assert agree >= 62 / 64, f"argmax agreement {agree:.3f}"
+    np.testing.assert_allclose(i8, f32, atol=8e-2)
