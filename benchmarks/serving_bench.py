@@ -6,7 +6,10 @@ not a bare model.apply. Flagship CIFAR-100 SpectreViT geometry, random
 weights (throughput is architecture-dependent, not weight-dependent).
 
 Run: PYTHONPATH=/root/.axon_site:. python benchmarks/serving_bench.py
-     [--skip-native] [--batch 1024] [--iters 20]
+     [--skip-native] [--skip-jax] [--int8] [--batch 1024] [--iters 20]
+
+--skip-jax measures the native daemon alone (no accelerator needed — pin
+JAX_PLATFORMS=cpu); --int8 adds a VNNI-quantized native leg.
 """
 
 from __future__ import annotations
@@ -76,11 +79,22 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-native", action="store_true")
+    ap.add_argument("--skip-jax", action="store_true",
+                    help="native daemon only; no accelerator required "
+                         "(pin JAX_PLATFORMS=cpu for the export)")
+    ap.add_argument("--int8", action="store_true",
+                    help="add a VNNI-quantized native leg")
     args = ap.parse_args()
+
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # see step_accounting.py
 
     from spectre_tpu.configs import parse_config
     from spectre_tpu.serving import SpectreClient
-    from spectre_tpu.serving.jax_server import from_config
     from spectre_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -88,17 +102,20 @@ def main():
     cfg = parse_config("spectre_tpu/configs/spectre_vit_cifar100.py")
     shape = (cfg.in_channels, cfg.img_size, cfg.img_size)
 
-    import jax
+    if not args.skip_jax:
+        import jax
 
-    srv = from_config(cfg, max_batch=args.batch)
-    port = srv.listen_tcp()
-    print(f"jax backend: {jax.default_backend()} "
-          f"({jax.devices()[0].device_kind})")
-    with SpectreClient(port=port) as c, \
-            SpectreClient(port=port) as p1, SpectreClient(port=port) as p2:
-        bench_backend("jax", c, shape, args.batch, args.iters,
-                      pipeline_clients=[p1, p2])
-    srv.close()
+        from spectre_tpu.serving.jax_server import from_config
+
+        srv = from_config(cfg, max_batch=args.batch)
+        port = srv.listen_tcp()
+        print(f"jax backend: {jax.default_backend()} "
+              f"({jax.devices()[0].device_kind})")
+        with SpectreClient(port=port) as c, \
+                SpectreClient(port=port) as p1, SpectreClient(port=port) as p2:
+            bench_backend("jax", c, shape, args.batch, args.iters,
+                          pipeline_clients=[p1, p2])
+        srv.close()
 
     if not args.skip_native:
         import tempfile
@@ -108,16 +125,21 @@ def main():
 
         with tempfile.TemporaryDirectory() as outdir:
             export_from_config(cfg, outdir=outdir, batch=1)
-            proc, nport = start_server(outdir, max_batch=args.batch)
-            try:
-                with SpectreClient(port=nport) as c:
-                    # the C++ runtime is single-core CPU: keep iters small
-                    bench_backend("native-cpu", c, shape,
-                                  batch=min(args.batch, 64),
-                                  iters=max(2, args.iters // 10),
-                                  lat_iters=10)
-            finally:
-                proc.kill()
+            legs = [("native-cpu", False)]
+            if args.int8:
+                legs.append(("native-cpu-int8", True))
+            for label, int8 in legs:
+                proc, nport = start_server(outdir, max_batch=args.batch,
+                                           int8=int8)
+                try:
+                    with SpectreClient(port=nport) as c:
+                        # the C++ runtime is single-core CPU: keep iters small
+                        bench_backend(label, c, shape,
+                                      batch=min(args.batch, 64),
+                                      iters=max(2, args.iters // 10),
+                                      lat_iters=10)
+                finally:
+                    proc.kill()
 
 
 if __name__ == "__main__":
