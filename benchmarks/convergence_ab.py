@@ -84,19 +84,28 @@ def _torch_mixer(method: str):
         def forward(self, x):  # Re(fft2) over [N, E] — ops/fft.py semantics
             return torch.fft.fft2(x).real
 
-    class DWTTokenMix(torch.nn.Module):
-        def forward(self, x):  # Haar along tokens, odd tail passthrough
-            n = x.shape[-2]
-            xm = x.movedim(-2, -1)
-            head, tail = (xm, None) if n % 2 == 0 else (xm[..., :n - 1],
-                                                        xm[..., n - 1:])
-            e, o = head[..., 0::2], head[..., 1::2]
-            s = 2.0 ** -0.5
-            parts = [(e + o) * s] + ([tail] if tail is not None else []) \
-                + [(e - o) * s]
-            return torch.cat(parts, dim=-1).movedim(-1, -2)
+    def _haar_mix_lastaxis(xm):
+        # Haar subband concat along the LAST axis, odd tail passthrough —
+        # ops/dwt.py::haar_dwt_mix semantics
+        n = xm.shape[-1]
+        head, tail = (xm, None) if n % 2 == 0 else (xm[..., :n - 1],
+                                                    xm[..., n - 1:])
+        e, o = head[..., 0::2], head[..., 1::2]
+        s = 2.0 ** -0.5
+        parts = [(e + o) * s] + ([tail] if tail is not None else []) \
+            + [(e - o) * s]
+        return torch.cat(parts, dim=-1)
 
-    return {"fnet": FNetMix, "dwt_token": DWTTokenMix}[method]()
+    class DWTTokenMix(torch.nn.Module):
+        def forward(self, x):  # Haar along tokens
+            return _haar_mix_lastaxis(x.movedim(-2, -1)).movedim(-1, -2)
+
+    class DWTEmbedMix(torch.nn.Module):
+        def forward(self, x):  # Haar along the embedding axis
+            return _haar_mix_lastaxis(x)
+
+    return {"fnet": FNetMix, "dwt_token": DWTTokenMix,
+            "dwt_embed": DWTEmbedMix}[method]()
 
 
 def run_torch(seed: int, data, batch: int, epochs: int,
@@ -133,7 +142,7 @@ def run_torch(seed: int, data, batch: int, epochs: int,
 
 
 JAX_METHOD = {"permut_mix": "permut_mix", "fnet": "fft_bare",
-              "dwt_token": "dwt_token"}
+              "dwt_token": "dwt_token", "dwt_embed": "dwt_embed"}
 
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
@@ -207,7 +216,7 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=1024)
     p.add_argument("--n-val", type=int, default=512)
     p.add_argument("--method", default="permut_mix",
-                   choices=["permut_mix", "fnet", "dwt_token"],
+                   choices=["permut_mix", "fnet", "dwt_token", "dwt_embed"],
                    help="mixer for BOTH sides of the torch-vs-jax A/B "
                         "(VERDICT r3 #6: the fnet_* configs the reference "
                         "intended to train). Torch side = reference model "

@@ -80,7 +80,7 @@ def test_own_init_converges_at_least_as_well(data, torch_acc):
     assert acc >= torch_acc - 0.03, (acc, torch_acc)
 
 
-@pytest.mark.parametrize("method", ["fnet", "dwt_token"])
+@pytest.mark.parametrize("method", ["fnet", "dwt_token", "dwt_embed"])
 def test_torch_mixer_twin_matches_jax_mixer(method):
     """The --method A/B (VERDICT r3 #6) swaps a torch twin of the jax mixer
     into the reference encoder layer; this pins that both sides of that A/B
@@ -91,12 +91,17 @@ def test_torch_mixer_twin_matches_jax_mixer(method):
     from spectre_tpu.ops.fft import fft2_real_matmul
 
     rng = np.random.default_rng(0)
-    for n_tokens in (16, 17):  # even + odd (odd exercises the DWT tail path)
-        x = rng.standard_normal((2, n_tokens, 32)).astype(np.float32)
+    for n in (16, 17):  # even + odd (odd exercises the DWT tail path)
+        # the varying dim sits on the axis the method mixes, so the odd
+        # tail path is exercised for BOTH dwt variants
+        shape = (2, 16, n) if method == "dwt_embed" else (2, n, 32)
+        x = rng.standard_normal(shape).astype(np.float32)
         with torch.no_grad():
             ref = _torch_mixer(method)(torch.from_numpy(x)).numpy()
         if method == "fnet":
             ours = np.asarray(fft2_real_matmul(jnp.asarray(x)))
+        elif method == "dwt_embed":
+            ours = np.asarray(haar_dwt_mix(jnp.asarray(x), axis=-1))
         else:
             ours = np.asarray(haar_dwt_mix(jnp.asarray(x), axis=-2))
         np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-4)
