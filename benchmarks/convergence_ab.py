@@ -104,8 +104,25 @@ def _torch_mixer(method: str):
         def forward(self, x):  # Haar along the embedding axis
             return _haar_mix_lastaxis(x)
 
+    class AttnMix(torch.nn.Module):
+        """Batch-first MHSA — the `attention` method of the docstring
+        contract. Init distributions match the jax AttentionMixer by
+        construction (models/mixers.py mirrors torch's _reset_parameters),
+        so the independent-init A/B protocol stays apples-to-apples; the
+        same-params forward parity is pinned by the twin CI test via
+        models/torch_import._mhsa."""
+
+        def __init__(self):
+            super().__init__()
+            self.m = torch.nn.MultiheadAttention(
+                MODEL_KW["embed_dim"], MODEL_KW["num_heads"],
+                dropout=0.0, batch_first=True)
+
+        def forward(self, x):
+            return self.m(x, x, x, need_weights=False)[0]
+
     return {"fnet": FNetMix, "dwt_token": DWTTokenMix,
-            "dwt_embed": DWTEmbedMix}[method]()
+            "dwt_embed": DWTEmbedMix, "attention": AttnMix}[method]()
 
 
 def run_torch(seed: int, data, batch: int, epochs: int,
@@ -142,7 +159,8 @@ def run_torch(seed: int, data, batch: int, epochs: int,
 
 
 JAX_METHOD = {"permut_mix": "permut_mix", "fnet": "fft_bare",
-              "dwt_token": "dwt_token", "dwt_embed": "dwt_embed"}
+              "dwt_token": "dwt_token", "dwt_embed": "dwt_embed",
+              "attention": "attention"}
 
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
@@ -216,7 +234,8 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=1024)
     p.add_argument("--n-val", type=int, default=512)
     p.add_argument("--method", default="permut_mix",
-                   choices=["permut_mix", "fnet", "dwt_token", "dwt_embed"],
+                   choices=["permut_mix", "fnet", "dwt_token", "dwt_embed",
+                            "attention"],
                    help="mixer for BOTH sides of the torch-vs-jax A/B "
                         "(VERDICT r3 #6: the fnet_* configs the reference "
                         "intended to train). Torch side = reference model "

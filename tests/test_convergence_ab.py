@@ -105,3 +105,29 @@ def test_torch_mixer_twin_matches_jax_mixer(method):
         else:
             ours = np.asarray(haar_dwt_mix(jnp.asarray(x), axis=-2))
         np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-4)
+
+
+def test_attention_twin_matches_jax_mixer_same_params():
+    """The `attention` A/B leg is param-bearing, so the twin guard transfers
+    the torch MHA's weights into the flax AttentionMixer (via the same
+    models/torch_import._mhsa mapping the ViT oracle uses) and requires
+    forward parity — pinning both the operator semantics and the claim that
+    the two sides of the trained A/B apply the same attention."""
+    import jax
+
+    from benchmarks.convergence_ab import MODEL_KW, _torch_mixer
+    from spectre_tpu.models.mixers import AttentionMixer
+    from spectre_tpu.models.torch_import import _mhsa
+
+    torch.manual_seed(0)
+    tm = _torch_mixer("attention")
+    sd = {"m." + k: v.detach().numpy() for k, v in tm.m.state_dict().items()}
+    params = {"mhsa": _mhsa(sd, "m", MODEL_KW["num_heads"])}
+    mixer = AttentionMixer(embed_dim=MODEL_KW["embed_dim"],
+                           num_heads=MODEL_KW["num_heads"])
+    x = np.random.default_rng(0).standard_normal((2, 17, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(mixer.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
