@@ -469,15 +469,18 @@ inline void gemm_int8(const float* x, const QuantW& qw, const float* bias,
     for (int k = K; k < Kp; ++k) o[k] = (uint8_t)z;  // pad; wq pad rows = 0
   }
 
-  // 2) s32 accumulation, K-blocked so the w panel stays L2-resident
+  // 2) s32 accumulation, K-blocked so the w panel stays L2-resident;
+  // row blocks thread across cores like the f32 path (rows are disjoint
+  // in acc32, so threading inside a k0 block is race-free; no-op split
+  // on a 1-core host)
   std::vector<int32_t> acc32((size_t)M * N, 0);
   int KC = (int)((1u << 20) / (size_t)N);  // int8 panel bytes = KC * N
   KC = KC < 64 ? 64 : (KC / 64) * 64;
   if (KC > Kp) KC = Kp;
-  std::vector<uint8_t> panel;
-  for (int k0 = 0; k0 < Kp; k0 += KC) {
-    const int kc = std::min(KC, Kp - k0), kg = kc >> 2;
-    for (int m0 = 0; m0 < M; m0 += 8) {
+  auto rows = [&](int k0, int kc, int mlo, int mhi) {
+    const int kg = kc >> 2;
+    std::vector<uint8_t> panel;
+    for (int m0 = mlo; m0 < mhi; m0 += 8) {
       // pack 8 rows x kc bytes as [kg][8][4] (u32 copies); an M tail
       // (mr < 8) duplicates its last row into the dead lanes — the kernel
       // wastes <=7 rows of FMAs but stays fully vectorized (a scalar tail
@@ -553,6 +556,26 @@ inline void gemm_int8(const float* x, const QuantW& qw, const float* bias,
         }
       }
     }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int workers = hw ? (int)hw : 1;
+  const int blocks = (M + 7) / 8;
+  workers = std::min(workers, blocks);
+  for (int k0 = 0; k0 < Kp; k0 += KC) {
+    const int kc = std::min(KC, Kp - k0);
+    if (workers <= 1 || (double)M * kc * N < 4e6) {
+      rows(k0, kc, 0, M);
+      continue;
+    }
+    std::vector<std::thread> pool;
+    const int per = (blocks + workers - 1) / workers;
+    for (int t = 0; t < workers; ++t) {
+      const int mlo = std::min(M, t * per * 8);
+      const int mhi = std::min(M, (t + 1) * per * 8);
+      if (mlo >= mhi) break;
+      pool.emplace_back(rows, k0, kc, mlo, mhi);
+    }
+    for (auto& th : pool) th.join();
   }
 
   // 3) dequantize + bias

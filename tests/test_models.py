@@ -63,7 +63,7 @@ def test_all_mixers_shape_preserving(method, rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
-@pytest.mark.parametrize("method", ["permut_mix", "fft_bare", "dwt_token", "attention"])
+@pytest.mark.parametrize("method", list(MIXERS))
 def test_spectre_vit_forward_and_features(method, rng):
     model = SpectreViT(method=method, **tiny_kwargs())
     x = jnp.asarray(rng.standard_normal((2, 3, 8, 8)).astype(np.float32))
