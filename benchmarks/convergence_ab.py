@@ -121,8 +121,31 @@ def _torch_mixer(method: str):
         def forward(self, x):
             return self.m(x, x, x, need_weights=False)[0]
 
+    class MHFFTMix(torch.nn.Module):
+        """The reference's own SpectreMix (spectre_branch.py:9-32) with its
+        commented-out FFT restored as the shape-preserving Re(fft2) our
+        `fft_mh` mixer uses (the reference's `rfft2(...).real` line changes
+        the last dim and cannot type-check without the also-commented
+        token_proj — this is the coherent completion of that intent).
+        torch's default Linear init == models/init.py's torch_kernel_init,
+        so init distributions match."""
+
+        def __init__(self):
+            super().__init__()
+            e, h, shrink = (MODEL_KW["embed_dim"], MODEL_KW["num_heads"], 4)
+            self.head_linears = torch.nn.ModuleList(
+                [torch.nn.Linear(e, e // shrink) for _ in range(h)])
+            self.proj_head = torch.nn.Linear(e // shrink * h, e)
+
+        def forward(self, x):
+            full = torch.cat(
+                [torch.fft.fft2(head(x)).real for head in self.head_linears],
+                dim=-1)
+            return self.proj_head(full) + x
+
     return {"fnet": FNetMix, "dwt_token": DWTTokenMix,
-            "dwt_embed": DWTEmbedMix, "attention": AttnMix}[method]()
+            "dwt_embed": DWTEmbedMix, "attention": AttnMix,
+            "fft_mh": MHFFTMix}[method]()
 
 
 def run_torch(seed: int, data, batch: int, epochs: int,
@@ -160,7 +183,7 @@ def run_torch(seed: int, data, batch: int, epochs: int,
 
 JAX_METHOD = {"permut_mix": "permut_mix", "fnet": "fft_bare",
               "dwt_token": "dwt_token", "dwt_embed": "dwt_embed",
-              "attention": "attention"}
+              "attention": "attention", "fft_mh": "fft_mh"}
 
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
@@ -235,7 +258,7 @@ def main(argv=None):
     p.add_argument("--n-val", type=int, default=512)
     p.add_argument("--method", default="permut_mix",
                    choices=["permut_mix", "fnet", "dwt_token", "dwt_embed",
-                            "attention"],
+                            "attention", "fft_mh"],
                    help="mixer for BOTH sides of the torch-vs-jax A/B "
                         "(VERDICT r3 #6: the fnet_* configs the reference "
                         "intended to train). Torch side = reference model "

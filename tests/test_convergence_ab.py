@@ -131,3 +131,30 @@ def test_attention_twin_matches_jax_mixer_same_params():
     ours = np.asarray(mixer.apply(
         {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
+
+
+def test_fft_mh_twin_matches_jax_mixer_same_params():
+    """fft_mh twin guard: the torch twin is the reference's own SpectreMix
+    (spectre_branch.py:9-32) with its commented-out FFT restored as the
+    shape-preserving Re(fft2) our mixer uses; weights transfer by plain
+    kernel transposes. Same-params forward parity pins the A/B operator."""
+    from benchmarks.convergence_ab import MODEL_KW, _torch_mixer
+    from spectre_tpu.models.mixers import MHFFTMixer
+
+    torch.manual_seed(0)
+    tm = _torch_mixer("fft_mh")
+    params = {}
+    for h, lin in enumerate(tm.head_linears):
+        params[f"head_{h}"] = {
+            "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy())}
+    params["proj_head"] = {
+        "kernel": jnp.asarray(tm.proj_head.weight.detach().numpy().T),
+        "bias": jnp.asarray(tm.proj_head.bias.detach().numpy())}
+    mixer = MHFFTMixer(embed_dim=MODEL_KW["embed_dim"],
+                       num_heads=MODEL_KW["num_heads"])
+    x = np.random.default_rng(0).standard_normal((2, 17, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(mixer.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
