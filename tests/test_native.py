@@ -133,7 +133,9 @@ def test_int8_runner_close_to_f32_and_argmax_agrees(native_built, tmp_path):
     from spectre_tpu.repl.export import export_from_config
 
     outdir = str(tmp_path / "export_int8")
-    export_from_config(_cfg(), outdir=outdir, batch=3)
+    # mix_block=8: block-structured tables (the flagship default's shape),
+    # composing the contiguous copy+sign fast path with the int8 GEMMs
+    export_from_config(_cfg(mix_block=8), outdir=outdir, batch=3)
     runner = os.path.join(native_built, "spectre_infer")
     base = [runner, "--weights", f"{outdir}/weights.stw",
             "--meta", f"{outdir}/meta.txt",
