@@ -118,7 +118,11 @@ def test_smoke_cpu_end_to_end(tmp_path):
     """Full harness on CPU at tiny batch: exercises trace -> HLO join ->
     buckets -> roofline without a chip. Slow (~3 min on 1 core)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # the subprocess must see the repo root on sys.path regardless of the
+    # parent's PYTHONPATH (the driver exports PYTHONPATH=. but a bare
+    # `pytest tests/` run does not)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, "benchmarks/step_accounting.py", "--batch", "8",
          "--smoke"],
