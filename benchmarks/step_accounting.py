@@ -80,9 +80,14 @@ def shape_bytes(type_str: str) -> int:
     return total
 
 
+# the type part is matched lazily up to "opcode(%" / "opcode()" because
+# post-layout tuple types nest parens ("(bf16[768]{0:T(1024)(128)(2,1)}, ...,
+# /*index=5*/bf16[...])") that a [^)]* alternative cannot cross — the round-4
+# first run lost the 8 biggest layernorm-backward fusions (8.8 ms/step)
+# exactly this way. Operands in optimized HLO text are always %refs, so
+# requiring "(%" (or "()" for zero-operand ops) cannot fire inside a type.
 _INSTR_RE = re.compile(
-    r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+((?:\([^)]*\)|[\w\[\],{}():\s#*]+?))\s+"
-    r"(\w[\w\-]*)\(")
+    r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+(.*?)\s+([\w\-]+)\((?:%|\))")
 _META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
 _CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 
@@ -172,6 +177,21 @@ def classify(op_names: list[str], opcode: str) -> str:
     # epilogue op_names that would otherwise mis-bucket them
     if "dot_general" in joined and ("fusion" in opcode or opcode == "dot"):
         return "GEMM (dot_general)"
+    # majority vote over the fused ops' scope paths: XLA fuses ACROSS module
+    # boundaries (round-4 first run: encoder layernorm/residual fusions with
+    # one stray jit(augment) op inside were swallowed whole by the
+    # augmentation bucket — 11 of its 17 ms were encoder work). Each fused
+    # op votes for the first rule it matches; the bucket with the most votes
+    # wins, rule order breaking ties.
+    votes = defaultdict(int)
+    for p in paths:
+        for bucket, pat in BUCKET_RULES:
+            if re.search(pat, p):
+                votes[bucket] += 1
+                break
+    if votes:
+        order = {b: i for i, (b, _) in enumerate(BUCKET_RULES)}
+        return max(votes, key=lambda b: (votes[b], -order[b]))
     for bucket, pat in BUCKET_RULES:
         if re.search(pat, joined):
             return bucket
@@ -233,9 +253,15 @@ def main():
         CIFAR100_MEAN, CIFAR100_STD))
 
     print("lowering + compiling for HLO text ...", flush=True)
-    compiled = jax.jit(step, donate_argnums=0).lower(
-        state, images, labels).compile()
+    # lower the step's OWN jit (make_train_step already jits with state
+    # donation) — wrapping it in a second jax.jit builds a different module
+    # whose fusion numbering diverges from the executable the trace runs
+    # (round-4 first run: the 8 augmentation multiply_reduce fusions, 13.2
+    # ms/step, failed the name join exactly this way)
+    compiled = step.lower(state, images, labels).compile()
     hlo = compiled.as_text()
+    with open("/tmp/step_hlo_r4.txt", "w") as f:  # debugging aid: the raw
+        f.write(hlo)                              # text the join runs against
     entry, comp_opnames = parse_hlo(hlo)
     print(f"parsed {len(entry)} instructions, "
           f"{len(comp_opnames)} computations with metadata", flush=True)
@@ -260,6 +286,24 @@ def main():
         df = df[df["name"].isin(entry)].copy()
         df["device_total_ms"] = df["host_total_ms"]
     df = df[df["device_total_ms"] > 0].copy()
+    # conditional instructions report INCLUSIVE time — the executed branch
+    # body (here: the mix route guard's Pallas `branch_1_fun` custom-calls)
+    # is tracked as its own row, so keeping the parents double-counts the
+    # whole `lax.cond` subtree (8 x ~1.7 ms = 13.6 ms at flagship shape:
+    # exactly the round-4 gap between the 143.2 ms tracked sum and
+    # bench.py's 129.7 ms). Drop the parents only when at least one branch
+    # body row is independently tracked.
+    cond_names = {n for n, (_, opc, _, _) in entry.items()
+                  if opc == "conditional"}
+    if df["name"].str.match(r"branch_\d+_fun").any():
+        dropped = df["name"].isin(cond_names) | df["name"].str.match(
+            r"conditional(\.\d+)?$")
+        if dropped.any():
+            print(f"dropping {int(dropped.sum())} conditional parent rows "
+                  f"({df.loc[dropped, 'device_total_ms'].sum() / 3:.1f} "
+                  f"ms/step inclusive — already tracked in their branch "
+                  f"bodies)", flush=True)
+            df = df[~dropped]
     step_ms = df["device_total_ms"].sum() / 3
 
     rows = []
