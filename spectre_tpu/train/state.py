@@ -35,8 +35,14 @@ class TrainState:
         return v
 
     def apply_gradients(self, grads, new_rng):
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        # named scope makes the optimizer's HLO carry "adamw_update" in its
+        # op_name metadata so the step-accounting harness can attribute the
+        # update math (optax emits bare mul/add scopes otherwise, which land
+        # in whatever fusion XLA folds them into, unattributed)
+        with jax.named_scope("adamw_update"):
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
             params=new_params,

@@ -101,7 +101,8 @@ ENTRY %main (a: f32[8,16]) -> f32[8,16] {
   ROOT %t = (f32[8,16], s32[2]) tuple(%fusion.1, %fusion.1)
 }
 """
-    entry, comp_opnames = parse_hlo(hlo)
+    entry, comp_opnames, comp_flops, instr_flops, cond_branches, \
+        instr_comp = parse_hlo(hlo)
     assert "fusion.1" in entry
     type_str, opcode, op_name, calls = entry["fusion.1"]
     assert opcode == "fusion"
@@ -111,6 +112,72 @@ ENTRY %main (a: f32[8,16]) -> f32[8,16] {
     assert shape_bytes(type_str) == 8 * 16 * 4
     # tuple type sums its elements
     assert shape_bytes("(f32[8,16], s32[2])") == 8 * 16 * 4 + 2 * 4
+    assert instr_comp["fusion.1"] == "main"
+    assert instr_comp["m"] == "fused_computation.1"
+
+
+def test_parse_hlo_dot_flops_and_cond_branches():
+    hlo = """\
+HloModule jit_train_step
+
+%fused_dot.1 (p0: bf16[64,128], p1: bf16[128,32]) -> bf16[64,32] {
+  %p0 = bf16[64,128] parameter(0)
+  %p1 = bf16[128,32] parameter(1)
+  ROOT %d = bf16[64,32] dot(%p0, %p1), lhs_contracting_dims={1}, rhs_contracting_dims={0}
+}
+
+%branch_0_fun.7 (q: bf16[4]) -> bf16[4] {
+  %q = bf16[4] parameter(0)
+  ROOT %neg = bf16[4] negate(%q)
+}
+
+%branch_1_fun.8 (q2: bf16[4]) -> bf16[4] {
+  %q2 = bf16[4] parameter(0)
+  ROOT %cc = bf16[4] custom-call(%q2), custom_call_target="tpu_custom_call"
+}
+
+ENTRY %main (a: bf16[64,128], b: bf16[128,32], p: pred[], t: bf16[4]) -> bf16[64,32] {
+  %a = bf16[64,128] parameter(0)
+  %b = bf16[128,32] parameter(1)
+  %p = pred[] parameter(2)
+  %t = bf16[4] parameter(3)
+  %cond.1 = bf16[4] conditional(%p, %t, %t), branch_computations={%branch_0_fun.7, %branch_1_fun.8}
+  ROOT %fusion.2 = bf16[64,32] fusion(%a, %b), kind=kOutput, calls=%fused_dot.1
+}
+"""
+    entry, _, comp_flops, instr_flops, cond_branches, instr_comp = \
+        parse_hlo(hlo)
+    # 2*M*N*K = 2*64*32*128
+    assert comp_flops["fused_dot.1"] == 2 * 64 * 32 * 128
+    assert instr_flops["d"] == 2 * 64 * 32 * 128
+    assert cond_branches["cond.1"] == ["branch_0_fun.7", "branch_1_fun.8"]
+    # an instruction inside a branch computation maps back to it
+    assert instr_comp["cc"] == "branch_1_fun.8"
+
+
+def test_parse_hlo_conv_flops_exact_for_padded_and_dilated_lowerings():
+    """On TPU, XLA canonicalizes every dot to a convolution; the two
+    batched-matmul lowerings seen in the flagship step must count exactly:
+    (a) window size=65 pad=64_64 over a size-1 lhs spatial dim (the mix
+    backward: each output position overlaps exactly one real input tap),
+    (b) size=65 stride=64 lhs_dilate=65 (the per-token forward projection).
+    Both equal the einsum's true 2*65*8192*1024*512."""
+    hlo = """\
+HloModule jit_train_step
+
+ENTRY %main (a: bf16[8192,512,1], w: bf16[65,1024,512], l2: bf16[65,8192,1024], w2: bf16[65,8192,512]) -> bf16[8192,65,1024] {
+  %a = bf16[8192,512,1] parameter(0)
+  %w = bf16[65,1024,512] parameter(1)
+  %l2 = bf16[65,8192,1024] parameter(2)
+  %w2 = bf16[65,8192,512] parameter(3)
+  %cv = bf16[8192,65,1024] convolution(%a, %w), window={size=65 pad=64_64 rhs_reversal=1}, dim_labels=bf0_0oi->b0f
+  ROOT %cd = bf16[65,1024,512] convolution(%l2, %w2), window={size=65 stride=64 lhs_dilate=65}, dim_labels=0fb_0io->0bf
+}
+"""
+    _, _, _, instr_flops, _, _ = parse_hlo(hlo)
+    want = 2 * 65 * 8192 * 1024 * 512
+    assert instr_flops["cv"] == want
+    assert instr_flops["cd"] == want
 
 
 @pytest.mark.slow
@@ -130,7 +197,7 @@ def test_smoke_cpu_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "block routes registered" in r.stdout
     assert "roofline" in r.stdout
-    with gzip.open("/tmp/v5e_train_step_ops_r4_full.csv.gz", "rt") as f:
+    with gzip.open("/tmp/v5e_train_step_ops_r5_full.csv.gz", "rt") as f:
         lines = f.read().splitlines()
     assert lines[0].startswith("#")
     assert lines[1].split(",")[:3] == ["name", "bucket", "ms_per_step"]
