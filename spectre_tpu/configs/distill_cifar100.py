@@ -12,3 +12,9 @@ teacher = "dinov3_vits16"
 teacher_img_size = 224        # teacher view is upsampled (reference train.py:92-99)
 teacher_embed_dim = 384
 teacher_checkpoint = None     # path to imported torch weights (see distill/teacher.py)
+# "imagenet" (default): bilinear resize + ImageNet stats — what DINO
+# teachers expect. "reference": the recipe's exact transform_dino
+# (bicubic Resize(256)+CenterCrop(224)+CIFAR stats, reference
+# train.py:91-97) — REQUIRED for KD parity runs against the reference
+# (documented divergence, PARITY.md).
+teacher_view = "imagenet"

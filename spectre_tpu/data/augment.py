@@ -264,27 +264,47 @@ def make_eval_transform(mean: Sequence[float], std: Sequence[float]):
     return transform
 
 
-def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Bilinear NCHW resize (the teacher path upsamples 32 -> 224,
-    train.py:92-99) as two separable GEMMs.
+def resize_separable(x: jnp.ndarray, size: int,
+                     method: str = "bilinear") -> jnp.ndarray:
+    """NCHW resize (the teacher path upsamples 32 -> 224, train.py:92-99)
+    as two separable GEMMs.
 
-    Bilinear resize is a LINEAR operator, so its exact 1-D matrices are
-    obtained by resizing identity matrices (constant-folded at trace time)
-    and applied as two einsums on the MXU. ``jax.image.resize``'s own
-    lowering ran at 69 ms for the 32->224 teacher view at B=256 on v5e —
+    Bilinear AND bicubic resize are LINEAR operators, so their exact 1-D
+    matrices are obtained by resizing identity matrices (constant-folded at
+    trace time) and applied as two einsums on the MXU. ``jax.image.resize``'s
+    own lowering ran at 69 ms for the 32->224 teacher view at B=256 on v5e —
     more than the ViT-S/16 teacher forward itself (54 ms); the GEMM
     formulation is bandwidth-bound on the 154 MB output instead
     (benchmarks/distill_step_bench.py before/after in BASELINE.md).
-    Matches ``jax.image.resize(method="bilinear")`` to float tolerance by
-    construction (same operator, different association).
+    Matches ``jax.image.resize(method=...)`` to float tolerance by
+    construction (same operator, different association). ``method``:
+    "bilinear" or "bicubic" (Keys a=-0.5 kernel — the same family PIL and
+    torchvision use, so the reference's ``InterpolationMode.BICUBIC``
+    teacher view is reproducible on-device; tests/test_distill.py holds the
+    torchvision oracle to this).
     """
     B, C, H, W = x.shape
     if (H, W) == (size, size):
         return x
+    jmethod = {"bilinear": "bilinear", "bicubic": "cubic"}[method]
     rh = jax.image.resize(jnp.eye(H, dtype=x.dtype), (size, H),
-                          method="bilinear")
+                          method=jmethod)
     rw = (rh if W == H else
           jax.image.resize(jnp.eye(W, dtype=x.dtype), (size, W),
-                           method="bilinear"))
+                           method=jmethod))
     y = jnp.einsum("oh,bchw->bcow", rh, x)
     return jnp.einsum("pw,bcow->bcop", rw, y)
+
+
+def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    return resize_separable(x, size, method="bilinear")
+
+
+def center_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torchvision ``CenterCrop(size)`` for NCHW batches — offset
+    ``int(round((H - size) / 2))`` per axis, exactly torchvision's
+    ``functional.center_crop`` arithmetic (banker's rounding included)."""
+    H, W = x.shape[-2:]
+    top = int(round((H - size) / 2.0))
+    left = int(round((W - size) / 2.0))
+    return x[..., top:top + size, left:left + size]

@@ -54,7 +54,7 @@ from spectre_tpu.data import (
     make_train_augment,
     prefetch_to_mesh,
 )
-from spectre_tpu.data.augment import normalize, resize_bilinear
+from spectre_tpu.data.augment import center_crop, normalize, resize_bilinear
 from spectre_tpu.distill.teacher import load_teacher
 from spectre_tpu.models import build_model, example_input
 from spectre_tpu.models.registry import resolve_dtype
@@ -69,6 +69,64 @@ from spectre_tpu.utils import MetricsWriter, experiment_name
 # ImageNet stats — what DINO teachers were trained with
 _TEACHER_MEAN = (0.485, 0.456, 0.406)
 _TEACHER_STD = (0.229, 0.224, 0.225)
+# the reference recipe's transform_dino normalize constants (CIFAR-100
+# stats — /root/reference/spectre_vit/repl/train.py:95-97)
+_REFERENCE_VIEW_MEAN = (0.5071, 0.4867, 0.4408)
+_REFERENCE_VIEW_STD = (0.2675, 0.2565, 0.2761)
+
+
+def make_teacher_view(t_size: int, in_ch: int = 3,
+                      mode: str = "imagenet"):
+    """Build the device-side teacher-view transform (config ``teacher_view``).
+
+    ``mode="imagenet"`` (DEFAULT — documented divergence, PARITY.md): direct
+    bilinear resize to the teacher's input size + ImageNet normalization,
+    the statistics DINO teachers were trained with (the reference feeding a
+    DINOv3 backbone CIFAR-statistics-normalized pixels is arguably a recipe
+    bug).
+
+    ``mode="reference"``: the reference's exact ``transform_dino`` semantics
+    (/root/reference/spectre_vit/repl/train.py:91-97) — BICUBIC resize of
+    the short side to ``8/7 * t_size`` (256 for the 224 teacher),
+    ``CenterCrop(t_size)``, normalize with the recipe's CIFAR-100
+    constants. The resize runs as two separable GEMMs (the identity-matrix
+    trick is method-agnostic) in PIL's pass order — horizontal (W) first,
+    then vertical — WITH a [0, 1] clip after each pass: PIL stores each
+    resample pass as uint8, clamping bicubic overshoot per pass, and on
+    high-contrast pixels the single-clip-at-the-end formulation differs by
+    up to ~7% of range (measured). With per-pass clips the match is within
+    ~1 uint8 level (fixed-point coefficients + per-pass rounding are PIL's
+    remaining quantization). Oracle-tested against PIL directly — the very
+    engine torchvision's Compose delegates PIL-image Resize/CenterCrop to —
+    in tests/test_distill.py::test_reference_teacher_view_matches_pil_oracle.
+    """
+    if mode not in ("imagenet", "reference"):
+        raise ValueError(f"teacher_view must be 'imagenet' or 'reference', "
+                         f"got {mode!r}")
+
+    def view(x):
+        if mode == "reference":
+            pre = round(t_size * 256 / 224)
+            H, W = x.shape[-2:]
+            rw = jax.image.resize(jnp.eye(W, dtype=x.dtype), (pre, W),
+                                  method="cubic")
+            rh = (rw if H == W else
+                  jax.image.resize(jnp.eye(H, dtype=x.dtype), (pre, H),
+                                   method="cubic"))
+            # PIL pass order with PIL's per-pass uint8 clamp
+            x = jnp.clip(jnp.einsum("pw,bchw->bchp", rw, x), 0.0, 1.0)
+            x = jnp.clip(jnp.einsum("oh,bchp->bcop", rh, x), 0.0, 1.0)
+            x = center_crop(x, t_size)
+            mean, std = _REFERENCE_VIEW_MEAN, _REFERENCE_VIEW_STD
+        else:
+            x = resize_bilinear(x, t_size)
+            mean, std = _TEACHER_MEAN, _TEACHER_STD
+        if in_ch == 1:
+            # grayscale -> RGB after the (per-channel) resize: 3x cheaper
+            x = x.repeat(3, axis=1)
+        return normalize(x, mean, std)
+
+    return jax.jit(view)
 
 
 def precompute_teacher_logits(teacher_logits_fn, images: np.ndarray,
@@ -202,14 +260,13 @@ def distill_from_config(
 
     t_size = teacher.backbone.img_size
 
-    @jax.jit
-    def teacher_view(x):
-        # dual-view: upsample raw pixels to the teacher resolution + teacher
-        # normalization (reference resizes the teacher path only, train.py:92-99)
-        x = resize_bilinear(x, t_size)
-        if in_ch == 1:
-            x = x.repeat(3, axis=1)
-        return normalize(x, _TEACHER_MEAN, _TEACHER_STD)
+    # dual-view: upsample raw pixels to the teacher resolution + teacher
+    # normalization (reference resizes the teacher path only, train.py:92-99);
+    # config.teacher_view selects imagenet (default) vs the recipe-exact
+    # reference transform_dino — see make_teacher_view
+    teacher_view = make_teacher_view(
+        t_size, in_ch=in_ch,
+        mode=str(getattr(config, "teacher_view", "imagenet")))
 
     @jax.jit
     def teacher_logits_fn(raw):
