@@ -149,17 +149,36 @@ def _torch_mixer(method: str):
 
 
 def run_torch(seed: int, data, batch: int, epochs: int,
-              method: str = "permut_mix") -> float:
+              method: str = "permut_mix",
+              model_name: str = "spectre_vit") -> float:
     sys.path.insert(0, REFERENCE_ROOT)
     import torch
     from spectre_vit.models.spectre.spectre import SpectreViT as RefSpectreViT
 
     (xtr, ytr), (xva, yva) = data
     torch.manual_seed(seed)
-    model = RefSpectreViT(**MODEL_KW, activation="gelu")
-    if method != "permut_mix":
-        for layer in model.encoder_blocks.layers:
-            layer.mix_layer = _torch_mixer(method)
+    if model_name == "spectre_branch":
+        # the reference's OWN dual-path model (spectre_branch.py:176-225).
+        # Its per-layer fusion projections hard-code 768 dims
+        # (spectre_branch.py:105) — a documented reference bug that only
+        # type-checks at embed_dim=768; resize them to the configured embed
+        # so the model the paper describes runs at A/B geometry (torch's
+        # default Linear init == our torch_kernel_init, so the init
+        # distributions stay matched).
+        from spectre_vit.models.spectre_branch.spectre_branch import (
+            SpectreBranch as RefSpectreBranch,
+        )
+
+        model = RefSpectreBranch(**MODEL_KW, activation="gelu")
+        e = MODEL_KW["embed_dim"]
+        model.encoder_blocks.spectre_project = torch.nn.ModuleList(
+            [torch.nn.Linear(e * 2, e)
+             for _ in range(MODEL_KW["num_encoders"])])
+    else:
+        model = RefSpectreViT(**MODEL_KW, activation="gelu")
+        if method != "permut_mix":
+            for layer in model.encoder_blocks.layers:
+                layer.mix_layer = _torch_mixer(method)
     opt = torch.optim.AdamW(model.parameters(), betas=BETAS, lr=LR, weight_decay=WD)
     steps = (len(xtr) // batch) * epochs
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
@@ -188,7 +207,8 @@ JAX_METHOD = {"permut_mix": "permut_mix", "fnet": "fft_bare",
 
 def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
                     compute_dtype: str = "float32",
-                    mix_block: int = 0, method: str = "permut_mix") -> float:
+                    mix_block: int = 0, method: str = "permut_mix",
+                    model_name: str = "spectre_vit") -> float:
     import jax.numpy as jnp
 
     from spectre_tpu.models import SpectreViT
@@ -196,8 +216,16 @@ def run_spectre_tpu(seed: int, data, batch: int, epochs: int,
 
     (xtr, ytr), (xva, yva) = data
     dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
-    model = SpectreViT(**MODEL_KW, method=JAX_METHOD[method],
-                       mix_impl="gather", mix_block=mix_block, dtype=dt)
+    if model_name == "spectre_branch":
+        # method="none" reproduces the reference layer's degenerate forward
+        # (mix commented out, spectre_branch.py:76-82) — the exact model the
+        # torch side trains
+        from spectre_tpu.models import SpectreBranch
+
+        model = SpectreBranch(**MODEL_KW, method="none", dtype=dt)
+    else:
+        model = SpectreViT(**MODEL_KW, method=JAX_METHOD[method],
+                           mix_impl="gather", mix_block=mix_block, dtype=dt)
     steps_per_epoch = len(xtr) // batch
     cfg = SimpleNamespace(learning_rate=LR, adam_betas=BETAS,
                           adam_weight_decay=WD, epochs=epochs)
@@ -263,6 +291,15 @@ def main(argv=None):
                         "(VERDICT r3 #6: the fnet_* configs the reference "
                         "intended to train). Torch side = reference model "
                         "with mix_layer swapped per the docstring contract")
+    p.add_argument("--model", default="spectre_vit",
+                   choices=["spectre_vit", "spectre_branch"],
+                   help="spectre_branch (VERDICT r4 #6): torch side = the "
+                        "reference's own dual-path SpectreBranch "
+                        "(spectre_branch.py:176-225, 768 hard-code resized "
+                        "to the configured embed), jax side = "
+                        "models/spectre_branch.py with method='none' "
+                        "(the reference's degenerate FF-only layer). "
+                        "--method is ignored for this model")
     args = p.parse_args(argv)
     if args.flagship:
         MODEL_KW.update(FLAGSHIP_KW)
@@ -290,9 +327,10 @@ def main(argv=None):
             data = make_dataset(seed, n_train=args.n_train, n_val=args.n_val,
                                 noise=args.noise)
             a = run_torch(seed, data, args.batch, args.epochs,
-                          method=args.method)
+                          method=args.method, model_name=args.model)
             b = run_spectre_tpu(seed, data, args.batch, args.epochs,
-                                compute_dtype=args.dtype, method=args.method)
+                                compute_dtype=args.dtype, method=args.method,
+                                model_name=args.model)
             accs["torch_reference"].append(a)
             accs["spectre_tpu"].append(b)
             print(json.dumps({"seed": seed, "torch_reference": a,
