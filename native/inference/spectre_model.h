@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <iostream>
@@ -27,6 +28,10 @@
 
 #ifdef __AVX512F__
 #include <immintrin.h>
+#if defined(__AMX_TILE__) && defined(__AMX_INT8__)
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
 #endif
 
 #include <mutex>
@@ -413,6 +418,84 @@ inline const QuantW& quantize_weights(const float* w, int K, int N) {
   return cache->emplace(w, std::move(q)).first->second;
 }
 
+// ---- AMX int8 tile path (round 5) ----
+// TDPBUSD retires 16x16x64 MACs per instruction vs VPDPBUSD's 64; measured
+// at the mix shape (M=4160, K=8192, N=512) on the bench host: 435 GOP/s
+// with a 1 MiB K-block vs 280 for the VNNI kernel (native/bench/amx_probe.cc,
+// exact same s32 outputs). The VNNI-packed [Kp/4][N][4] weight layout IS
+// the AMX B-tile layout (a B tile is a plain strided load, stride N*4), so
+// the tile path drops in with no repacking. Gates: the kernel must grant
+// tile state (arch_prctl ARCH_REQ_XCOMP_PERM/XTILEDATA — per process),
+// N % 32 == 0, Kp % 64 == 0; row tail M % 32 and non-conforming shapes use
+// the VNNI kernel below. Disable with SPECTRE_NO_AMX=1 (env) for A/Bs.
+#if defined(__AMX_TILE__) && defined(__AMX_INT8__)
+#define SPECTRE_HAS_AMX 1
+
+struct AmxTileCfg {
+  uint8_t palette = 1;
+  uint8_t start_row = 0;
+  uint8_t reserved[14] = {};
+  uint16_t colsb[16] = {};
+  uint8_t rows[16] = {};
+};
+
+inline bool amx_available() {
+  static const bool ok = [] {
+    if (const char* e = std::getenv("SPECTRE_NO_AMX"))
+      if (e[0] == '1') return false;
+#ifdef ARCH_REQ_XCOMP_PERM
+    return syscall(SYS_arch_prctl, ARCH_REQ_XCOMP_PERM, 18) == 0;
+#else
+    return syscall(SYS_arch_prctl, 0x1023, 18) == 0;  // XFEATURE_XTILEDATA
+#endif
+  }();
+  return ok;
+}
+
+// acc32[M,N] += xq[M, lda] @ packed (VNNI [Kp/4][N][4]); M % 32 == 0,
+// N % 32 == 0, Kp % 64 == 0. 2x2 C tiles, K blocked at ``kc`` so the
+// active B panel stays L2-resident across the m sweep (the same cache
+// discipline as the f32/VNNI kernels); C tiles reload+accumulate across
+// k blocks. Tile state is per-thread: callers threading over row ranges
+// call this per thread.
+inline void amx_gemm_s32(const uint8_t* xq, int lda, const int8_t* packed,
+                         int32_t* acc32, int mlo, int mhi, int Kp, int N,
+                         int kc) {
+  AmxTileCfg cfg;
+  for (int t = 0; t < 8; ++t) { cfg.rows[t] = 16; cfg.colsb[t] = 64; }
+  _tile_loadconfig(&cfg);
+  const size_t bstride = (size_t)N * 4;
+  for (int k0 = 0; k0 < Kp; k0 += kc) {
+    const int kend = std::min(k0 + kc, Kp);
+    for (int m = mlo; m < mhi; m += 32) {
+      for (int n = 0; n < N; n += 32) {
+        _tile_loadd(0, acc32 + (size_t)m * N + n, N * 4);
+        _tile_loadd(1, acc32 + (size_t)m * N + n + 16, N * 4);
+        _tile_loadd(2, acc32 + (size_t)(m + 16) * N + n, N * 4);
+        _tile_loadd(3, acc32 + (size_t)(m + 16) * N + n + 16, N * 4);
+        for (int k = k0; k < kend; k += 64) {
+          _tile_loadd(4, xq + (size_t)m * lda + k, lda);
+          _tile_loadd(5, xq + (size_t)(m + 16) * lda + k, lda);
+          _tile_loadd(6, packed + (size_t)(k / 4) * bstride + (size_t)n * 4,
+                      bstride);
+          _tile_loadd(7, packed + (size_t)(k / 4) * bstride +
+                      (size_t)(n + 16) * 4, bstride);
+          _tile_dpbusd(0, 4, 6);
+          _tile_dpbusd(1, 4, 7);
+          _tile_dpbusd(2, 5, 6);
+          _tile_dpbusd(3, 5, 7);
+        }
+        _tile_stored(0, acc32 + (size_t)m * N + n, N * 4);
+        _tile_stored(1, acc32 + (size_t)m * N + n + 16, N * 4);
+        _tile_stored(2, acc32 + (size_t)(m + 16) * N + n, N * 4);
+        _tile_stored(3, acc32 + (size_t)(m + 16) * N + n + 16, N * 4);
+      }
+    }
+  }
+  _tile_release();
+}
+#endif  // __AMX_TILE__ && __AMX_INT8__
+
 // out[M,N] = dequant(xq @ wq) + bias. xq rows are u8 with per-row scale
 // sx / zero-point zx; identity: sum_k x[k]*w[k,n] ≈
 //   sx * scale[n] * (sum_k xq[k]*wq[k,n] - zx * colsum[n]).
@@ -559,23 +642,56 @@ inline void gemm_int8(const float* x, const QuantW& qw, const float* bias,
   };
   unsigned hw = std::thread::hardware_concurrency();
   int workers = hw ? (int)hw : 1;
-  const int blocks = (M + 7) / 8;
-  workers = std::min(workers, blocks);
-  for (int k0 = 0; k0 < Kp; k0 += KC) {
-    const int kc = std::min(KC, Kp - k0);
-    if (workers <= 1 || (double)M * kc * N < 4e6) {
-      rows(k0, kc, 0, M);
-      continue;
+  int vnni_lo = 0;  // first row the VNNI kernel still owns
+#ifdef SPECTRE_HAS_AMX
+  const int M32 = M & ~31;
+  if (amx_available() && M32 > 0 && N % 32 == 0 && Kp % 64 == 0) {
+    // AMX owns the 32-aligned row block; KC keeps the B panel ~1 MiB
+    // (kc sweep in native/bench/amx_probe.cc: 435 GOP/s at the mix shape
+    // vs 270 unblocked). Tile state is per-thread — each worker loads its
+    // own config inside amx_gemm_s32.
+    int KCa = (int)((1u << 20) / (size_t)N);
+    KCa = KCa < 64 ? 64 : (KCa / 64) * 64;
+    if (KCa > Kp) KCa = Kp;
+    const int tile_blocks = M32 / 32;
+    int aw = std::min(workers, tile_blocks);
+    if (aw <= 1) {
+      amx_gemm_s32(xq.data(), Kp, qw.packed.data(), acc32.data(),
+                   0, M32, Kp, N, KCa);
+    } else {
+      std::vector<std::thread> pool;
+      const int per = (tile_blocks + aw - 1) / aw;
+      for (int t = 0; t < aw; ++t) {
+        const int mlo = std::min(M32, t * per * 32);
+        const int mhi = std::min(M32, (t + 1) * per * 32);
+        if (mlo >= mhi) break;
+        pool.emplace_back(amx_gemm_s32, xq.data(), Kp, qw.packed.data(),
+                          acc32.data(), mlo, mhi, Kp, N, KCa);
+      }
+      for (auto& th : pool) th.join();
     }
-    std::vector<std::thread> pool;
-    const int per = (blocks + workers - 1) / workers;
-    for (int t = 0; t < workers; ++t) {
-      const int mlo = std::min(M, t * per * 8);
-      const int mhi = std::min(M, (t + 1) * per * 8);
-      if (mlo >= mhi) break;
-      pool.emplace_back(rows, k0, kc, mlo, mhi);
+    vnni_lo = M32;  // tail rows (M % 32) fall through to the VNNI kernel
+  }
+#endif
+  const int blocks = (M - vnni_lo + 7) / 8;
+  workers = std::min(workers, blocks > 0 ? blocks : 1);
+  if (vnni_lo < M) {
+    for (int k0 = 0; k0 < Kp; k0 += KC) {
+      const int kc = std::min(KC, Kp - k0);
+      if (workers <= 1 || (double)(M - vnni_lo) * kc * N < 4e6) {
+        rows(k0, kc, vnni_lo, M);
+        continue;
+      }
+      std::vector<std::thread> pool;
+      const int per = (blocks + workers - 1) / workers;
+      for (int t = 0; t < workers; ++t) {
+        const int mlo = std::min(M, vnni_lo + t * per * 8);
+        const int mhi = std::min(M, vnni_lo + (t + 1) * per * 8);
+        if (mlo >= mhi) break;
+        pool.emplace_back(rows, k0, kc, mlo, mhi);
+      }
+      for (auto& th : pool) th.join();
     }
-    for (auto& th : pool) th.join();
   }
 
   // 3) dequantize + bias
