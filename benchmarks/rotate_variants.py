@@ -75,6 +75,21 @@ def per_channel_flat(x, yc, xc, valid):
     return jnp.where(valid[:, None], out, 0.0)
 
 
+def batched_take_along(x, yc, xc, valid):
+    """Batch-LOCAL flat gather: per-sample [H*W] indices via take_along_axis
+    on [B, C, H*W]. Lowers to a gather with operand batching dims, which
+    GSPMD partitions along the batch axis — the cross-batch flat index of
+    ``per_channel_flat`` folds batch offsets into the index vector, so under
+    a DP mesh GSPMD must all-gather the whole [C, B*H*W] pixel source
+    (found by the round-5 collective audit of the dryrun DP leg)."""
+    B, C, H, W = x.shape
+    idx = (yc * W + xc).reshape(B, 1, H * W)
+    xf = x.reshape(B, C, H * W)
+    out = jnp.take_along_axis(
+        xf, jnp.broadcast_to(idx, (B, C, H * W)), axis=2, mode="clip")
+    return jnp.where(valid[:, None], out.reshape(B, C, H, W), 0.0)
+
+
 def row_then_col(x, yc, xc, valid):
     """Two-stage: gather whole [W, C] rows by yc (128 B-contiguous rows),
     then per-pixel within-row take along the W axis."""
@@ -103,6 +118,7 @@ def main(argv=None):
     for name, fn in [("current", current), ("channels_last", channels_last),
                      ("flat_rows", flat_rows),
                      ("per_channel_flat", per_channel_flat),
+                     ("batched_take_along", batched_take_along),
                      ("row_then_col", row_then_col)]:
         f = jax.jit(fn)
         out = np.asarray(f(x, yc, xc, valid))

@@ -277,6 +277,7 @@ def distill_from_config(
         student,
         temperature=float(getattr(config, "distill_temperature", 2.0)),
         kd_weight=alpha, ce_weight=1.0 - alpha,
+        fast_rng=bool(getattr(config, "fast_rng", True)),
     )
     if fsdp:
         # pin the carried state's FSDP shardings on the step output — free

@@ -1,3 +1,11 @@
+from spectre_tpu.parallel.audit import (
+    assert_dp_signature,
+    assert_fsdp_signature,
+    assert_tp_signature,
+    audit_compiled,
+    collective_counts,
+    collective_ops,
+)
 from spectre_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -20,4 +28,7 @@ __all__ = [
     "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "VIT_TP_RULES", "SPECTRE_TP_RULES", "apply_tp", "tp_shardings",
     "apply_fsdp", "fsdp_shardings", "pin_step_shardings",
+    "collective_counts", "collective_ops", "audit_compiled",
+    "assert_dp_signature",
+    "assert_fsdp_signature", "assert_tp_signature",
 ]

@@ -198,7 +198,8 @@ def train_from_config(
     # raw pixels cross the host boundary, keys derive from the state PRNG
     train_step = make_train_step(
         model, augment_fn=augment,
-        grad_accum_steps=int(getattr(config, "grad_accum_steps", 1)))
+        grad_accum_steps=int(getattr(config, "grad_accum_steps", 1)),
+        fast_rng=bool(getattr(config, "fast_rng", True)))
     if fsdp:
         # pin the carried state's FSDP shardings on the step's output —
         # GSPMD's free propagation drifts sharded params back to replicated

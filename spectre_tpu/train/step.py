@@ -63,13 +63,56 @@ def _accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32).mean()
 
 
+def _fast_key(key):
+    """Re-wrap a step key as ``unsafe_rbg`` so in-step sampling (dropout
+    masks, augmentation draws) uses the hardware RngBitGenerator instead of
+    threefry. Measured on the flagship step (BASELINE.md round-5): the FF
+    GEMM fusions drag threefry Bernoulli epilogues at 5-8x their roofline
+    for dropout=0.001 masks; this swap is 129.7 -> 118.9 ms/step (+8.3%
+    img/s). The mask DISTRIBUTION is unchanged (i.i.d. Bernoulli draws) —
+    only the counter-based stream implementation differs, and the reference
+    uses torch's RNG stream anyway, so stream identity was never a parity
+    surface. Deterministic for a fixed key on a fixed backend (exact-resume
+    tests hold); ``fast_rng=False`` restores threefry."""
+    data = jax.random.key_data(key).ravel()
+    return jax.random.wrap_key_data(
+        jnp.tile(data, 4)[:4].astype(jnp.uint32), impl="unsafe_rbg")
+
+
+def _shard_augment(augment_fn: Callable, mesh) -> Callable:
+    """Run the augmentation shard-locally over the mesh's data axis.
+
+    The rotation resample's fast formulation folds batch offsets into one
+    flat index vector (benchmarks/rotate_variants.py: 4.9 vs 38.9 ms for
+    the batch-local take_along_axis form on v5e), which GSPMD cannot prove
+    batch-local — on a DP mesh it all-gathers the whole pixel source
+    (caught by the round-5 collective audit). shard_map makes the locality
+    structural: each shard flattens only its own batch slice, zero
+    collectives, and the single-chip-fast formulation is kept. Each shard
+    folds its axis index into the key so augmentation draws stay
+    independent across shards."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(key, images):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return augment_fn(key, images)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(), P("data")),
+                         out_specs=P("data"))
+
+
 def make_train_step(model, augment_fn: Callable | None = None,
-                    grad_accum_steps: int = 1) -> Callable:
+                    grad_accum_steps: int = 1, mesh=None,
+                    fast_rng: bool = True) -> Callable:
     """Build the jitted train step. ``state`` is donated (buffers update in
     place in HBM); dropout/augmentation keys are folded from the state PRNG +
     step so the step stays a pure function of its inputs. When ``augment_fn``
     is given, device-side augmentation runs INSIDE the compiled step — one
-    dispatch per step, raw pixels in, no host-side key management.
+    dispatch per step, raw pixels in, no host-side key management; pass
+    ``mesh`` on multi-chip hosts so the augmentation runs shard-locally
+    (see _shard_augment). ``fast_rng`` (default on) draws in-step dropout/
+    augmentation randomness from the hardware RngBitGenerator (_fast_key:
+    129.7 -> 118.9 ms/step measured on the flagship).
 
     ``grad_accum_steps`` > 1 splits the incoming batch into that many
     microbatches and accumulates gradients over a ``lax.scan`` before the
@@ -79,11 +122,15 @@ def make_train_step(model, augment_fn: Callable | None = None,
     full-batch mean; each microbatch gets its own dropout/augment key.
     """
 
+    aug = augment_fn
+    if augment_fn is not None and mesh is not None and mesh.size > 1:
+        aug = _shard_augment(augment_fn, mesh)
+
     def compute(state: TrainState, rng: jnp.ndarray,
                 images: jnp.ndarray, labels: jnp.ndarray):
-        if augment_fn is not None:
+        if aug is not None:
             aug_rng, rng = jax.random.split(rng)
-            images = augment_fn(aug_rng, images)
+            images = aug(aug_rng, images)
 
         def loss_fn(params):
             logits, mutated = model.apply(
@@ -112,6 +159,8 @@ def make_train_step(model, augment_fn: Callable | None = None,
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if fast_rng:
+            step_rng = _fast_key(step_rng)
         if grad_accum_steps <= 1:
             grads, metrics = compute(state, step_rng, images, labels)
         else:
@@ -172,6 +221,7 @@ def make_distill_step(
     temperature: float = 2.0,
     kd_weight: float = 0.25,
     ce_weight: float = 0.75,
+    fast_rng: bool = True,
 ) -> Callable:
     """Distillation train step (train.py:320-353 semantics).
 
@@ -190,6 +240,8 @@ def make_distill_step(
         labels: jnp.ndarray,
     ):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if fast_rng:
+            step_rng = _fast_key(step_rng)
         teacher_logits = jax.lax.stop_gradient(teacher_logits)
 
         def loss_fn(params):
