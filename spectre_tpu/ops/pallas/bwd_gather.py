@@ -359,6 +359,109 @@ def block_scatter_rows_pallas(
     )(starts, xt)
 
 
+def _fused_bwd_kernel(ns_ref, e0_ref, dy_ref, w_ref, sg_ref, o_ref, acc,
+                      *, heads: int, blk: int):
+    """One output block per grid step: acc[blk, Bc] = sum_h sign ⊙
+    (w[e0_h : e0_h+blk, :] @ dy[n_h]^T) — the mix backward's dmixed GEMM
+    and inverse block-gather fused, so the [H·d, B] dmixed cotangent never
+    exists in HBM. dy (the projection cotangent chunk) and w are
+    VMEM-RESIDENT (constant index maps); the per-(block, head) source
+    coordinates (token n, w-row offset e0) and pre-gathered signs arrive as
+    tables. All operands are on-chip, so each step is 16 pure-MXU
+    [blk, O] x [Bc, O] contractions."""
+    j = pl.program_id(1)
+    acc[...] = jnp.zeros_like(acc)
+    for h2 in range(heads):
+        n = ns_ref[j, h2]
+        e0 = pl.multiple_of(e0_ref[j, h2], blk)
+        wb = w_ref[pl.ds(e0, blk), :]
+        dyn = dy_ref[n]
+        part = jax.lax.dot_general(
+            wb, dyn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc[...] += sg_ref[0, h2].astype(jnp.float32)[:, None] * part
+    o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+def fused_block_bwd_pallas(
+    dy: jnp.ndarray,
+    w: jnp.ndarray,
+    s4: jnp.ndarray,
+    binv: jnp.ndarray,
+    blk: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """dxt[j*blk+t, b] = Σ_h s4f[r] · Σ_o dy[n_r, b, o] · w[e_r, o] with
+    r = h·d + binv[h, j]·blk + t, n_r = r // EH, e_r = r % EH — i.e.
+    ``block_gather_sum(s4 ⊙ (dy @ w^T))`` WITHOUT materializing the
+    [H·d, B] intermediate (1.02 GiB written + re-read at flagship shape).
+
+    Requirements (flagship: d=33280, EH=8192, blk=64, N=65, O=512): blk
+    divides EH (so a source block never straddles a token boundary — holds
+    whenever blk divides the per-head embed width E, which the block-table
+    sampler guarantees), and dy/w stay under the VMEM residency budget (the
+    batch is chunked to keep the dy chunk ~<=36 MB).
+    """
+    interpret = use_interpret() if interpret is None else interpret
+    h, nb = binv.shape
+    d = nb * blk
+    n_tok, b, o = dy.shape
+    eh = w.shape[0]
+    assert eh * n_tok == h * d and eh % blk == 0, (dy.shape, w.shape, binv.shape)
+    start = (binv * blk
+             + (jnp.arange(h, dtype=binv.dtype) * d)[:, None]).T  # [nb, H]
+    ns = (start // eh).astype(jnp.int32)
+    e0 = (start % eh).astype(jnp.int32)
+    sflat = s4.reshape(-1)
+    sg = sflat[start[:, :, None]
+               + jnp.arange(blk, dtype=start.dtype)]  # [nb, H, blk]
+    # batch chunk: largest divisor of b whose dy chunk fits the budget
+    budget = 36 * 2**20
+    bc = b
+    while bc > 128 and n_tok * bc * o * dy.dtype.itemsize > budget:
+        if b % (bc // 2):
+            break
+        bc //= 2
+    grid = (b // bc, nb)
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, heads=h, blk=blk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ns, full table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # e0, full table
+            pl.BlockSpec((n_tok, bc, o), lambda c, j: (0, c, 0),
+                         memory_space=pltpu.VMEM),  # dy chunk, resident per c
+            pl.BlockSpec((eh, o), lambda c, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # w, resident
+            pl.BlockSpec((1, h, blk), lambda c, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # pre-gathered signs
+        ],
+        out_specs=pl.BlockSpec((blk, bc), lambda c, j: (j, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, b), dy.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, bc), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # the pipeline double-buffers even the constant-index dy chunk
+            # across the (rare) c-boundary prefetch, so budget 2x
+            vmem_limit_bytes=min(
+                int(2 * n_tok * bc * o * dy.dtype.itemsize + 2 * w.nbytes
+                    + 8 * blk * bc * 4) + 4 * 2**20,
+                120 * 2**20)),
+        interpret=interpret,
+    )(ns, e0, dy, w, sg)
+
+
+def fused_block_bwd_reference(dy, w, s4, binv, blk):
+    """jnp oracle: the production two-op chain (dmixed einsum + block
+    gather-sum) this kernel fuses."""
+    h, nb = binv.shape
+    n_tok = dy.shape[0]
+    eh = w.shape[0]
+    dg = s4[:, :, None] * jnp.einsum("nbo,eo->neb", dy, w)
+    gflat = dg.reshape(n_tok * eh, -1)
+    return block_gather_sum_reference(gflat, binv, blk)
+
+
 def block_gather_sum_reference(g: jnp.ndarray, binv: jnp.ndarray,
                                blk: int) -> jnp.ndarray:
     """jnp oracle for the blocked backward (per-head block takes)."""

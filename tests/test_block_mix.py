@@ -299,3 +299,32 @@ def test_routed_block_forward_small_batch_uses_take():
     y_rt = jax.jit(m.apply)(v, x)
     np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y_ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_fused_block_bwd_kernel_matches_chain_oracle():
+    """The fused GEMM+block-gather backward kernel (round-5 structural
+    study — measured SLOWER than the production chain at flagship shape,
+    7.37 vs 4.73 ms, because its blk-row GEMMs cap MXU sublane utilization
+    at 50%; BASELINE.md 'structural floor'). Kept in-tree with its parity
+    pinned: it is the only formulation that never materializes the
+    [H·d, B] cotangent, and becomes relevant if a future geometry is
+    bandwidth- rather than FLOP-bound."""
+    from spectre_tpu.ops.pallas.bwd_gather import (
+        fused_block_bwd_pallas,
+        fused_block_bwd_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    h, blk, e, n, b, o = 4, 8, 32, 5, 24, 16
+    d = n * e
+    eh = e * h
+    nb = d // blk
+    binv = jnp.asarray(np.stack([rng.permutation(nb) for _ in range(h)])
+                       .astype(np.int32))
+    dy = jnp.asarray(rng.standard_normal((n, b, o)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((eh, o)).astype(np.float32))
+    s4 = jnp.asarray(rng.choice([-1.0, 1.0], (n, eh)).astype(np.float32))
+    got = fused_block_bwd_pallas(dy, w, s4, binv, blk, interpret=True)
+    want = fused_block_bwd_reference(dy, w, s4, binv, blk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
