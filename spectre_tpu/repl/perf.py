@@ -220,10 +220,11 @@ def cmd_encoder(args):
 
 def cmd_train(args):
     from spectre_tpu.configs import parse_config
-    from spectre_tpu.data import CIFAR100_MEAN, CIFAR100_STD, make_train_augment
+    from spectre_tpu.data import make_train_augment
     from spectre_tpu.models import build_model
     from spectre_tpu.repl.train import apply_overrides
     from spectre_tpu.train import create_train_state, make_optimizer, make_train_step
+    from spectre_tpu.train.loop import _dataset_stats
 
     for use_pallas, mix_impl in itertools.product(
             [False, True], ["gather", "folded", "structured"]):
@@ -237,7 +238,11 @@ def cmd_train(args):
         labels = jnp.asarray(rng.integers(0, cfg.num_classes, b).astype(np.int32))
         tx = make_optimizer(cfg, 195)
         state = create_train_state(model, tx, images)
-        augment = make_train_augment(CIFAR100_MEAN, CIFAR100_STD)
+        # dataset-appropriate stats/pipeline (a hard-coded CIFAR augment
+        # crashed on 1-channel MNIST configs; mirror train/loop.py)
+        mean, std = _dataset_stats(getattr(cfg, "dataset", "mnist"))
+        augment = make_train_augment(mean, std,
+                                     jitter=(cfg.in_channels == 3))
         step = make_train_step(model, augment_fn=augment)
 
         # donated-state chains serialize dispatch, so an end-of-loop scalar

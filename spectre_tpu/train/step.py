@@ -73,7 +73,12 @@ def _fast_key(key):
     only the counter-based stream implementation differs, and the reference
     uses torch's RNG stream anyway, so stream identity was never a parity
     surface. Deterministic for a fixed key on a fixed backend (exact-resume
-    tests hold); ``fast_rng=False`` restores threefry."""
+    tests hold); ``fast_rng=False`` restores threefry. Strength note: the
+    per-STEP key is derived in threefry space (``fold_in(state.rng, step)``
+    happens before this conversion), so cross-step independence keeps
+    threefry strength; only the within-step split into augment/dropout/
+    microbatch keys uses rbg's weaker derivation — fine for masking, the
+    only in-step consumer."""
     data = jax.random.key_data(key).ravel()
     return jax.random.wrap_key_data(
         jnp.tile(data, 4)[:4].astype(jnp.uint32), impl="unsafe_rbg")
