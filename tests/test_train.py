@@ -278,3 +278,22 @@ def test_preemption_save_skips_val_sweep(tmp_path, monkeypatch):
                            max_steps=int(r.state.step) + 1,
                            write_metrics=False)
     assert int(r2.state.step) == int(r.state.step) + 1
+
+
+def test_fast_rng_identical_outside_rng_consumers():
+    """fast_rng only swaps the PRNG stream feeding dropout/augment draws —
+    with no augmentation and dropout=0 there are no in-step RNG consumers,
+    so the two modes must produce BIT-IDENTICAL losses and updates (any
+    drift would mean the key rewrap leaked into model numerics)."""
+    cfg = tiny_config()
+    model, state_a, batch = _state_and_batch(cfg)
+    _, state_b, _ = _state_and_batch(cfg)
+    step_fast = make_train_step(model, fast_rng=True)
+    step_tf = make_train_step(model, fast_rng=False)
+    for _ in range(3):
+        state_a, ma = step_fast(state_a, batch["image"], batch["label"])
+        state_b, mb = step_tf(state_b, batch["image"], batch["label"])
+    assert float(ma["loss"]) == float(mb["loss"])
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
