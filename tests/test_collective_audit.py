@@ -115,3 +115,32 @@ def test_real_sharded_param_program_shows_gather_scatter():
     counts = audit_compiled(_grad_step(mesh, P("data")))
     assert counts.get("all-gather", 0) >= 1 or \
         counts.get("reduce-scatter", 0) >= 1, counts
+
+
+def test_audit_compiled_separates_augment_gathers():
+    """all-gathers inside the augmentation scope are counted under
+    ``_augment_gathers`` (DP-allowed pixel-source gather) while any other
+    all-gather stays a hard DP-signature error."""
+    hlo = """\
+HloModule m
+
+ENTRY %main (a: f32[8]) -> f32[8] {
+  %a = f32[8] parameter(0)
+  %ag1 = f32[16] all-gather(%a), dimensions={0}, metadata={op_name="jit(train_step)/jit(augment)/vmap(jit(_take))/gather"}
+  %ag2 = f32[16] all-gather(%a), dimensions={0}, metadata={op_name="jit(train_step)/jvp(SpectreViT)/mlp_head/dot_general"}
+  ROOT %ar = f32[8] all-reduce(%a), to_apply=%add
+}
+"""
+
+    class FakeCompiled:
+        def as_text(self):
+            return hlo
+
+    counts = audit_compiled(FakeCompiled())
+    assert counts == {"_augment_gathers": 1, "all-gather": 1,
+                      "all-reduce": 1}
+    with pytest.raises(AssertionError):
+        assert_dp_signature(counts)  # the param-scoped gather still fails
+    ok = dict(counts)
+    ok.pop("all-gather")
+    assert_dp_signature(ok)  # augment-scoped gather alone is allowed
