@@ -93,7 +93,7 @@ def bench_config(name: str, batch: int, warmup: int, iters: int):
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", float("nan")))
 
-    for _ in range(warmup):
+    for _ in range(max(1, warmup)):  # >=1: the sync below needs a metric
         state, m = step(state, images, labels)
     np.asarray(m["loss"])
 

@@ -146,7 +146,6 @@ int main(int argc, char** argv) {
   {
     int m2 = 32, k2 = 128, n2 = 32;
     std::vector<int32_t> c1((size_t)m2 * n2), c2((size_t)m2 * n2);
-    gemm_amx(A.data(), B.data(), c1.data(), m2, k2, n2);
     // scalar needs a contiguous [k2/4][n2][4] B — repack from the big one
     std::vector<int8_t> Bs((size_t)(k2 / 4) * n2 * 4);
     for (int k = 0; k < k2; ++k)

@@ -300,6 +300,28 @@ def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return resize_separable(x, size, method="bilinear")
 
 
+def resize_bicubic_pil(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """PIL-faithful bicubic NCHW resize for [0, 1] pixel inputs: the same
+    separable-GEMM matrices as ``resize_separable(..., "bicubic")`` but
+    applied in PIL's pass order — horizontal (W) first, then vertical —
+    WITH a [0, 1] clip after each pass. PIL stores each resample pass as
+    uint8, clamping bicubic overshoot per pass; on high-contrast pixels a
+    single clip at the end differs by up to ~7% of range (measured,
+    tests/test_distill.py PIL oracle at ~1 uint8 level). Used by the
+    recipe-exact teacher view (distill/loop.py::make_teacher_view).
+    Square inputs only (callers guard)."""
+    H, W = x.shape[-2:]
+    if (H, W) == (size, size):
+        return x
+    rw = jax.image.resize(jnp.eye(W, dtype=x.dtype), (size, W),
+                          method="cubic")
+    rh = (rw if H == W else
+          jax.image.resize(jnp.eye(H, dtype=x.dtype), (size, H),
+                           method="cubic"))
+    x = jnp.clip(jnp.einsum("pw,bchw->bchp", rw, x), 0.0, 1.0)
+    return jnp.clip(jnp.einsum("oh,bchp->bcop", rh, x), 0.0, 1.0)
+
+
 def center_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """torchvision ``CenterCrop(size)`` for NCHW batches — offset
     ``int(round((H - size) / 2))`` per axis, exactly torchvision's

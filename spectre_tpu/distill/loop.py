@@ -54,7 +54,12 @@ from spectre_tpu.data import (
     make_train_augment,
     prefetch_to_mesh,
 )
-from spectre_tpu.data.augment import center_crop, normalize, resize_bilinear
+from spectre_tpu.data.augment import (
+    center_crop,
+    normalize,
+    resize_bicubic_pil,
+    resize_bilinear,
+)
 from spectre_tpu.distill.teacher import load_teacher
 from spectre_tpu.models import build_model, example_input
 from spectre_tpu.models.registry import resolve_dtype
@@ -89,16 +94,14 @@ def make_teacher_view(t_size: int, in_ch: int = 3,
     (/root/reference/spectre_vit/repl/train.py:91-97) — BICUBIC resize of
     the short side to ``8/7 * t_size`` (256 for the 224 teacher),
     ``CenterCrop(t_size)``, normalize with the recipe's CIFAR-100
-    constants. The resize runs as two separable GEMMs (the identity-matrix
-    trick is method-agnostic) in PIL's pass order — horizontal (W) first,
-    then vertical — WITH a [0, 1] clip after each pass: PIL stores each
-    resample pass as uint8, clamping bicubic overshoot per pass, and on
-    high-contrast pixels the single-clip-at-the-end formulation differs by
-    up to ~7% of range (measured). With per-pass clips the match is within
-    ~1 uint8 level (fixed-point coefficients + per-pass rounding are PIL's
-    remaining quantization). Oracle-tested against PIL directly — the very
-    engine torchvision's Compose delegates PIL-image Resize/CenterCrop to —
-    in tests/test_distill.py::test_reference_teacher_view_matches_pil_oracle.
+    constants. The resize is ``data/augment.py::resize_bicubic_pil`` —
+    separable GEMMs in PIL's pass order with PIL's per-pass [0, 1] clamp
+    (rationale + measurements in its docstring); match vs PIL is within
+    ~1 uint8 level. Oracle-tested against PIL directly — the very engine
+    torchvision's Compose delegates PIL-image Resize/CenterCrop to — in
+    tests/test_distill.py::test_reference_teacher_view_matches_pil_oracle.
+    Square inputs only (the recipe's aspect-preserving short-side resize is
+    refused, not approximated).
     """
     if mode not in ("imagenet", "reference"):
         raise ValueError(f"teacher_view must be 'imagenet' or 'reference', "
@@ -108,14 +111,17 @@ def make_teacher_view(t_size: int, in_ch: int = 3,
         if mode == "reference":
             pre = round(t_size * 256 / 224)
             H, W = x.shape[-2:]
-            rw = jax.image.resize(jnp.eye(W, dtype=x.dtype), (pre, W),
-                                  method="cubic")
-            rh = (rw if H == W else
-                  jax.image.resize(jnp.eye(H, dtype=x.dtype), (pre, H),
-                                   method="cubic"))
-            # PIL pass order with PIL's per-pass uint8 clamp
-            x = jnp.clip(jnp.einsum("pw,bchw->bchp", rw, x), 0.0, 1.0)
-            x = jnp.clip(jnp.einsum("oh,bchp->bcop", rh, x), 0.0, 1.0)
+            if H != W:
+                # torchvision Resize(int) scales the SHORT side preserving
+                # aspect; this separable implementation covers the square
+                # inputs the recipe actually feeds (CIFAR 32x32). Refuse
+                # rather than silently warp non-square inputs differently
+                # from the recipe.
+                raise ValueError(
+                    f"teacher_view='reference' supports square inputs only "
+                    f"(got {H}x{W}); the recipe's Resize(short_side) "
+                    f"aspect-preserving path is not implemented")
+            x = resize_bicubic_pil(x, pre)
             x = center_crop(x, t_size)
             mean, std = _REFERENCE_VIEW_MEAN, _REFERENCE_VIEW_STD
         else:

@@ -239,10 +239,19 @@ def cmd_train(args):
         tx = make_optimizer(cfg, 195)
         state = create_train_state(model, tx, images)
         # dataset-appropriate stats/pipeline (a hard-coded CIFAR augment
-        # crashed on 1-channel MNIST configs; mirror train/loop.py)
-        mean, std = _dataset_stats(getattr(cfg, "dataset", "mnist"))
-        augment = make_train_augment(mean, std,
-                                     jitter=(cfg.in_channels == 3))
+        # crashed on 1-channel MNIST configs) — EXACTLY train/loop.py's
+        # selection, so the timed program is the trainer's program
+        # (reference MNIST = RandomRotation(15) only)
+        dataset = getattr(cfg, "dataset", "mnist")
+        mean, std = _dataset_stats(dataset)
+        if dataset == "mnist":
+            augment = make_train_augment(mean, std, hflip=False,
+                                         jitter=False, grayscale_p=0.0,
+                                         degrees=15.0, blur_p=0.0,
+                                         erasing_p=0.0)
+        else:
+            augment = make_train_augment(mean, std,
+                                         jitter=(cfg.in_channels == 3))
         step = make_train_step(model, augment_fn=augment)
 
         # donated-state chains serialize dispatch, so an end-of-loop scalar

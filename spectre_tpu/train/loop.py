@@ -196,9 +196,18 @@ def train_from_config(
 
     # augmentation is compiled INTO the train step: one dispatch per step,
     # raw pixels cross the host boundary, keys derive from the state PRNG
+    # shard_local_augment (opt-in, multi-chip): run the augmentation under
+    # shard_map over the data axis — removes the pixel-source all-gather
+    # GSPMD inserts for the flat rotation index (parallel/audit.py) at the
+    # cost of augmentation draws becoming mesh-layout-dependent (per-shard
+    # key folding), which is why it is NOT the default: cross-layout loss
+    # parity (dryrun legs, multihost determinism tests) relies on
+    # layout-invariant draws, and the gather is 12.6 MB over ICI at B=1024.
     train_step = make_train_step(
         model, augment_fn=augment,
         grad_accum_steps=int(getattr(config, "grad_accum_steps", 1)),
+        mesh=(mesh if bool(getattr(config, "shard_local_augment", False))
+              else None),
         fast_rng=bool(getattr(config, "fast_rng", True)))
     if fsdp:
         # pin the carried state's FSDP shardings on the step's output —
